@@ -1,0 +1,109 @@
+"""Video K-Net VPS: joint train forward/loss + online inference smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_knet_tpu.config import VideoKNetConfig
+from video_knet_tpu.models.video.inference import VPSInferencePipeline
+from video_knet_tpu.models.video.knet_vps import VideoKNet, video_knet_loss
+from video_knet_tpu.ops.targets import PanopticGT
+
+
+def _make_gt(cfg, b, hw, seed=0, ids_offset=0):
+    h, w = hw
+    g, s = cfg.max_insts, cfg.num_stuff_classes
+    rng = np.random.RandomState(seed)
+    masks = np.zeros((b, g, h, w), np.float32)
+    masks[:, 0, : h // 2, : w // 2] = 1.0
+    masks[:, 1, h // 2 :, :] = 1.0
+    labels = np.zeros((b, g), np.int32)
+    labels[:, 1] = 1
+    valid = np.zeros((b, g), bool)
+    valid[:, :2] = True
+    ids = np.where(valid, np.arange(g)[None] + ids_offset, -1)
+    sem = np.zeros((b, s, h, w), np.float32)
+    sem[:, 0, : h // 4, :] = 1.0
+    sem_valid = np.zeros((b, s), bool)
+    sem_valid[:, 0] = True
+    return PanopticGT(
+        masks=jnp.asarray(masks),
+        labels=jnp.asarray(labels),
+        valid=jnp.asarray(valid),
+        instance_ids=jnp.asarray(ids.astype(np.int32)),
+        sem_masks=jnp.asarray(sem),
+        sem_valid=jnp.asarray(sem_valid),
+    )
+
+
+@pytest.fixture(scope="module")
+def video_setup():
+    cfg = VideoKNetConfig(max_insts=8)
+    model = VideoKNet(cfg, train=True)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    return cfg, model, variables, img
+
+
+def test_joint_train_loss(video_setup):
+    cfg, model, variables, img = video_setup
+    # mask_assign_stride=2 -> GT at 32x48
+    gt = _make_gt(cfg, 1, (32, 48), seed=0, ids_offset=0)
+    ref_gt = _make_gt(cfg, 1, (32, 48), seed=1, ids_offset=0)  # same ids -> matches
+
+    @jax.jit
+    def loss_fn(params):
+        key, ref, key_emb, ref_emb = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, img, img
+        )
+        losses = video_knet_loss((key, ref), (key_emb, ref_emb), gt, ref_gt, cfg)
+        return sum(losses.values()), losses
+
+    total, losses = loss_fn(variables["params"])
+    keys = set(losses)
+    assert "loss_track" in keys and "loss_track_aux" in keys
+    assert "loss_rpn_mask" in keys and "loss_rpn_mask_ref_rpn" in keys
+    assert "s2_loss_dice" in keys and "s2_loss_dice_ref" in keys
+    # video rpn uses softmax CE seg loss and no stage rank loss
+    assert "s0_loss_rank" not in keys
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_link_and_embed_grads(video_setup):
+    cfg, model, variables, img = video_setup
+    gt = _make_gt(cfg, 1, (32, 48), 0, 0)
+    ref_gt = _make_gt(cfg, 1, (32, 48), 1, 0)
+
+    def loss_fn(params):
+        key, ref, key_emb, ref_emb = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, img, img
+        )
+        return sum(
+            video_knet_loss((key, ref), (key_emb, ref_emb), gt, ref_gt, cfg).values()
+        )
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    for name in ["attention_previous", "link_ffn"]:
+        g = grads[f"mask_head_{cfg.num_stages-1}"][name]
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+        assert total > 0, f"no grad into {name}"
+    g = grads["track_embed"]
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert total > 0, "no grad into track embed"
+
+
+def test_online_inference_pipeline(video_setup):
+    cfg, model, variables, img = video_setup
+    infer_model = VideoKNet(cfg, train=False)
+    pipe = VPSInferencePipeline(infer_model, variables, cfg, out_hw=(64, 96))
+    results = []
+    for t in range(3):
+        res = pipe.run_frame(img, is_first=(t == 0))
+        results.append(res)
+        assert res.panoptic_seg.shape == (64, 96)
+        assert res.semantic_map.shape == (64, 96)
+        assert res.track_map.shape == (64, 96)
+    # state carried: prev_obj_feats updated
+    assert pipe.frame_id == 3

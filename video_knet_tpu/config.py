@@ -143,7 +143,9 @@ class KNetConfig:
     ignore_label: int = 255
     max_insts: int = 32  # static GT slots (TPU addition)
     rpn: ConvKernelHeadConfig = field(default_factory=ConvKernelHeadConfig)
-    head: KernelUpdateHeadConfig = field(default_factory=KernelUpdateHeadConfig)
+    head: KernelUpdateHeadConfig = field(
+        default_factory=lambda: KernelUpdateHeadConfig(loss_rank_weight=0.1)
+    )
     assigner: AssignerConfig = field(default_factory=AssignerConfig)
     test: TestCfg = field(default_factory=TestCfg)
 

@@ -53,6 +53,7 @@ def assemble_masks(kernels: Array, x: Array, kernel_size: int) -> Array:
 
 class KernelUpdateHead(nn.Module):
     cfg: KernelUpdateHeadConfig
+    with_previous: bool = False  # video variant: cross-frame kernel-link branch
 
     @nn.compact
     def __call__(
@@ -60,11 +61,18 @@ class KernelUpdateHead(nn.Module):
         x: Array,
         proposal_feat: Array,
         mask_preds: Array,
-    ) -> tuple[Array, Array, Array]:
+        previous_obj_feats: Array | None = None,
+    ) -> tuple[Array, Array, Array, Array | None]:
         """x: [B, H, W, C]; proposal_feat: [B, N, K*K, C]; mask_preds: [B, N, Hm, Wm].
 
         Returns (cls_score [B, N, num_classes], new_mask_preds [B, N, H, W],
-        obj_feat [B, N, K*K, C]).
+        obj_feat [B, N, K*K, C], obj_feat_track or None).
+
+        When `with_previous` and `previous_obj_feats` [B, N, K*K, C] is given, the
+        video linking branch (knet/video/kernel_update_head.py:394-415,
+        previous_type='ffn') computes obj_feat_track = LN(link_ffn(LN(cross_attn(
+        query=obj_feat, kv=previous, residual)))) — the main cls/mask path is
+        unaffected (linking only feeds the tracking embedding).
         """
         cfg = self.cfg
         b, n = proposal_feat.shape[:2]
@@ -99,6 +107,22 @@ class KernelUpdateHead(nn.Module):
                 FFN(cfg.feedforward_channels, cfg.in_channels, name="ffn")(obj_feat)
             )
 
+        obj_feat_track = None
+        if self.with_previous and previous_obj_feats is not None:
+            g2 = previous_obj_feats.shape[2]
+            cur_flat = obj_feat.reshape(b, n, g2 * c)
+            prev_flat = previous_obj_feats.reshape(b, n, g2 * c)
+            link = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads, qkv_features=g2 * c, name="attention_previous"
+            )(cur_flat, prev_flat)
+            link = nn.LayerNorm(epsilon=1e-5, name="attention_previous_norm")(
+                cur_flat + link
+            )
+            link = link.reshape(b, n, g2, c)
+            obj_feat_track = nn.LayerNorm(epsilon=1e-5, name="link_ffn_norm")(
+                FFN(cfg.feedforward_channels, cfg.in_channels, name="link_ffn")(link)
+            )
+
         cls_feat = obj_feat.sum(axis=-2)  # [B, N, C]
         mask_feat = obj_feat
 
@@ -113,4 +137,4 @@ class KernelUpdateHead(nn.Module):
         mask_kernels = nn.Dense(cfg.out_channels, name="fc_mask")(mask_feat)
 
         new_mask_preds = assemble_masks(mask_kernels, x, cfg.conv_kernel_size)
-        return cls_score, new_mask_preds, obj_feat
+        return cls_score, new_mask_preds, obj_feat, obj_feat_track

@@ -1,0 +1,291 @@
+"""KNet: the image panoptic detector (backbone + FPN + kernel heads) and its
+training losses / panoptic inference.
+
+Rebuild of knet/det/knet.py + the loss plumbing of kernel_head.py:267-428 and
+kernel_iter_head.py:139-231 as pure jittable functions over fixed-slot GT.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from video_knet_tpu.config import KNetConfig
+from video_knet_tpu.models.kernel_head import ConvKernelHead, RPNOutputs
+from video_knet_tpu.models.kernel_iter_head import KernelIterHead, StageOutput, upscale_masks
+from video_knet_tpu.models.resnet import FPN, ResNet
+import video_knet_tpu.ops.hungarian as hung
+from video_knet_tpu.ops import losses as L
+from video_knet_tpu.ops.panoptic import PanopticResult, merge_joint
+from video_knet_tpu.ops.targets import (
+    PanopticGT,
+    build_rank_target,
+    build_rpn_targets,
+    build_stage_targets,
+)
+from video_knet_tpu.models.layers import resize_mask_bilinear
+
+Array = jax.Array
+
+
+class KNet(nn.Module):
+    """Forward-only module; losses are computed by `knet_loss` below."""
+
+    cfg: KNetConfig
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, img: Array) -> tuple[RPNOutputs, list[StageOutput]]:
+        cfg = self.cfg
+        feats = ResNet(
+            depth=50 if cfg.backbone == "resnet50" else 101,
+            frozen_stages=cfg.frozen_stages,
+            norm_eval=cfg.norm_eval,
+            train=self.train,
+            name="backbone",
+        )(img)
+        fpn = FPN(name="neck")(feats)
+        rpn_out = ConvKernelHead(cfg.rpn, name="rpn_head")(fpn)
+        stage_outs = KernelIterHead(
+            cfg.head, num_stages=cfg.num_stages, name="roi_head"
+        )(rpn_out.x_feats, rpn_out.proposal_feats, rpn_out.mask_preds)
+        return rpn_out, stage_outs
+
+
+def _batched_assign(
+    scaled_thing_masks: Array,
+    cls_scores: Array | None,
+    gt: PanopticGT,
+    cfg: KNetConfig,
+) -> Array:
+    """vmapped Hungarian assignment of detached thing masks to GT instances.
+
+    Returns gt_of_pred [B, N] (-1 = background)."""
+    masks = jax.lax.stop_gradient(scaled_thing_masks)
+    if cls_scores is not None:
+        cls_scores = jax.lax.stop_gradient(cls_scores)
+
+        def one(m, c, gm, gv, gl):
+            cost = hung.hungarian_cost_matrix(
+                m, gm, c, gl,
+                cls_weight=cfg.assigner.cls_weight,
+                dice_weight=cfg.assigner.dice_weight,
+                mask_weight=cfg.assigner.mask_weight,
+            )
+            return hung.pad_and_solve(cost, gv)[0]
+
+        return jax.vmap(one)(masks, cls_scores, gt.masks, gt.valid, gt.labels)
+
+    def one_nocls(m, gm, gv):
+        cost = hung.hungarian_cost_matrix(
+            m, gm, None, None,
+            cls_weight=0.0,
+            dice_weight=cfg.assigner.dice_weight,
+            mask_weight=cfg.assigner.mask_weight,
+        )
+        return hung.pad_and_solve(cost, gv)[0]
+
+    return jax.vmap(one_nocls)(masks, gt.masks, gt.valid)
+
+
+def rpn_loss(rpn_out: RPNOutputs, gt: PanopticGT, cfg: KNetConfig) -> dict[str, Array]:
+    """ConvKernelHead losses (kernel_head.py:337-428)."""
+    c = cfg.num_classes
+    r = cfg.rpn
+    scaled = upscale_masks(rpn_out.thing_mask_preds, r.feat_downsample_stride)
+    gt_of_pred = _batched_assign(scaled, None, gt, cfg)
+    tgt = build_rpn_targets(
+        gt_of_pred, gt, num_thing_classes=cfg.num_thing_classes, num_classes=c
+    )
+    b, n = tgt.labels.shape
+    flat_masks = scaled.reshape(b * n, *scaled.shape[-2:])
+    flat_targets = tgt.mask_targets.reshape(b * n, *scaled.shape[-2:])
+    flat_w = tgt.mask_weights.reshape(b * n)
+    losses = {
+        "loss_rpn_mask": L.binary_cross_entropy(
+            flat_masks, flat_targets, flat_w, loss_weight=r.loss_mask_weight
+        ),
+        "loss_rpn_dice": L.dice_loss(
+            flat_masks, flat_targets, flat_w, loss_weight=r.loss_dice_weight
+        ),
+    }
+    if r.loss_rank_weight > 0:
+        rank_t = build_rank_target(tgt.mask_targets, tgt.mask_weights, ignore_label=255)
+        losses["loss_rpn_rank"] = _rank_loss_batched(scaled, rank_t, r.loss_rank_weight)
+    # semantic seg loss on the scaled seg logits
+    seg_scaled = jax.image.resize(
+        rpn_out.seg_preds,
+        rpn_out.seg_preds.shape[:-3]
+        + (
+            rpn_out.seg_preds.shape[-3] * r.feat_downsample_stride,
+            rpn_out.seg_preds.shape[-2] * r.feat_downsample_stride,
+            rpn_out.seg_preds.shape[-1],
+        ),
+        method="linear",
+    )
+    if r.seg_use_sigmoid:
+        # focal seg loss averaged by #pixels with a real class (kernel_head.py:404-418)
+        flat_seg = seg_scaled.reshape(-1, c)
+        flat_t = tgt.seg_targets.reshape(-1)
+        num_dense_pos = jnp.maximum(jnp.sum((flat_t < c).astype(jnp.float32)), 1.0)
+        losses["loss_rpn_seg"] = L.sigmoid_focal_loss(
+            flat_seg, flat_t, num_classes=c,
+            loss_weight=r.loss_seg_weight, avg_factor=num_dense_pos,
+        )
+    else:
+        losses["loss_rpn_seg"] = L.softmax_cross_entropy(
+            seg_scaled, tgt.seg_targets, ignore_index=c, loss_weight=r.loss_seg_weight
+        )
+    return losses
+
+
+def _rank_loss_batched(scaled_masks: Array, rank_target: Array, weight: float) -> Array:
+    """CE over N mask logits per pixel with ignore=255 (kernel_update_head.py:341)."""
+    logits = jnp.moveaxis(scaled_masks, 1, -1)  # [B, H, W, N]
+    return L.softmax_cross_entropy(logits, rank_target, ignore_index=255, loss_weight=weight)
+
+
+def stage_loss(
+    out: StageOutput,
+    gt_of_pred: Array,
+    gt: PanopticGT,
+    cfg: KNetConfig,
+    prefix: str,
+) -> dict[str, Array]:
+    """One KernelUpdateHead stage loss (kernel_update_head.py:279-349)."""
+    h = cfg.head
+    c = cfg.num_classes
+    tgt = build_stage_targets(
+        gt_of_pred, gt,
+        num_thing_classes=cfg.num_thing_classes,
+        num_stuff_classes=cfg.num_stuff_classes,
+    )
+    b, n_tot = tgt.labels.shape
+    avg = jnp.maximum(tgt.num_pos, 1.0)
+    losses = {
+        f"{prefix}_loss_cls": L.sigmoid_focal_loss(
+            out.cls_score.reshape(b * n_tot, c),
+            tgt.labels.reshape(b * n_tot),
+            tgt.label_weights.reshape(b * n_tot, c),
+            num_classes=c,
+            gamma=h.focal_gamma,
+            alpha=h.focal_alpha,
+            loss_weight=h.loss_cls_weight,
+            avg_factor=avg,
+        )
+    }
+    sm = out.scaled_mask_preds
+    flat_masks = sm.reshape(b * n_tot, *sm.shape[-2:])
+    flat_t = tgt.mask_targets.reshape(b * n_tot, *sm.shape[-2:])
+    flat_w = tgt.mask_weights.reshape(b * n_tot)
+    losses[f"{prefix}_loss_mask"] = L.binary_cross_entropy(
+        flat_masks, flat_t, flat_w, loss_weight=h.loss_mask_weight
+    )
+    losses[f"{prefix}_loss_dice"] = L.dice_loss(
+        flat_masks, flat_t, flat_w, loss_weight=h.loss_dice_weight
+    )
+    if h.loss_rank_weight > 0:
+        rank_t = build_rank_target(tgt.mask_targets, tgt.mask_weights, ignore_label=255)
+        losses[f"{prefix}_loss_rank"] = _rank_loss_batched(sm, rank_t, h.loss_rank_weight)
+    return losses
+
+
+def iter_head_losses(
+    rpn_out: RPNOutputs,
+    stage_outs: list[StageOutput],
+    gt: PanopticGT,
+    cfg: KNetConfig,
+) -> tuple[dict[str, Array], Array]:
+    """Per-stage assignment + losses (kernel_iter_head.py:139-231).
+
+    Stage s assigns using the *previous* stage's detached scaled masks/cls
+    (the init RPN masks for s=0). Returns (losses, last-stage gt_of_pred) — the
+    final assignment is reused by the video tracking loss.
+    """
+    n_prop = cfg.num_proposals
+    prev_masks = upscale_masks(rpn_out.mask_preds, cfg.head.mask_upsample_stride)[
+        :, :n_prop
+    ]
+    prev_cls = None
+    losses: dict[str, Array] = {}
+    gt_of_pred = None
+    for s, out in enumerate(stage_outs):
+        if s < cfg.assign_stages:
+            cls_for_assign = (
+                prev_cls[:, :n_prop, : cfg.num_thing_classes] if prev_cls is not None else None
+            )
+            gt_of_pred = _batched_assign(prev_masks, cls_for_assign, gt, cfg)
+        losses.update(
+            {
+                k: v * cfg.stage_loss_weights[s]
+                for k, v in stage_loss(out, gt_of_pred, gt, cfg, f"s{s}").items()
+            }
+        )
+        prev_masks = out.scaled_mask_preds[:, :n_prop]
+        prev_cls = out.cls_score
+    return losses, gt_of_pred
+
+
+def knet_loss(
+    rpn_out: RPNOutputs, stage_outs: list[StageOutput], gt: PanopticGT, cfg: KNetConfig
+) -> dict[str, Array]:
+    losses = rpn_loss(rpn_out, gt, cfg)
+    iter_losses, _ = iter_head_losses(rpn_out, stage_outs, gt, cfg)
+    losses.update(iter_losses)
+    return losses
+
+
+class PanopticPrediction(NamedTuple):
+    result: PanopticResult
+    thing_kernels: Array  # [max_per_img, K*K, C] kernels of the topk things (tracking)
+    thing_mask_idx: Array  # [max_per_img] source proposal index of each topk thing
+    seg_preds: Array  # [H, W, C] semantic logits (stuff filter for VPS)
+
+
+def panoptic_decode(
+    rpn_out: RPNOutputs,
+    stage_outs: list[StageOutput],
+    cfg: KNetConfig,
+    out_hw: tuple[int, int] | None = None,
+) -> PanopticPrediction:
+    """Panoptic post-processing for one image batch of size 1-or-vmapped.
+
+    kernel_iter_head.py:332-370 with merge_joint=True: topk thing (proposal,
+    class) pairs + per-class stuff rows, sigmoid, rescale, joint-argmax merge.
+    Operates on a single image ([N_tot, ...] inputs); vmap for batches.
+    """
+    t = cfg.test
+    last = stage_outs[-1]
+    cls_score = jax.nn.sigmoid(last.cls_score[0])  # [N_tot, C]
+    mask_preds = last.scaled_mask_preds[0]  # [N_tot, Hs, Ws]
+    n_prop = cfg.num_proposals
+    nt = cfg.num_thing_classes
+
+    thing_scores_full = cls_score[:n_prop, :nt].reshape(-1)  # [N*T]
+    top_scores, top_idx = jax.lax.top_k(thing_scores_full, t.max_per_img)
+    mask_idx = top_idx // nt
+    thing_labels = (top_idx % nt).astype(jnp.int32)
+    thing_masks = jnp.take(mask_preds[:n_prop], mask_idx, axis=0)
+
+    stuff_scores = jnp.diagonal(cls_score[n_prop:, nt:])  # [S]
+    stuff_labels = nt + jnp.arange(cfg.num_stuff_classes, dtype=jnp.int32)
+    stuff_masks = mask_preds[n_prop:]
+
+    masks = jnp.concatenate([thing_masks, stuff_masks], axis=0)
+    if out_hw is not None and masks.shape[-2:] != tuple(out_hw):
+        masks = resize_mask_bilinear(masks, tuple(out_hw))
+    probs = jax.nn.sigmoid(masks)
+    scores = jnp.concatenate([top_scores, stuff_scores], axis=0)
+    labels = jnp.concatenate([thing_labels, stuff_labels], axis=0)
+
+    res = merge_joint(
+        probs, scores, labels,
+        num_thing_classes=nt,
+        instance_score_thr=t.instance_score_thr,
+        overlap_thr=t.overlap_thr,
+    )
+    thing_kernels = jnp.take(last.object_feats[0, :n_prop], mask_idx, axis=0)
+    return PanopticPrediction(res, thing_kernels, mask_idx, rpn_out.seg_preds[0])

@@ -1,0 +1,294 @@
+"""Video K-Net for VPS: joint-trained detector + kernel linking + kernel-association
+embedding (the model of the KITTI-STEP / VIP-Seg release configs).
+
+Rebuild of VideoKNetQuansiEmbedFCJointTrain
+(knet/video/knet_quansi_dense_embed_fc_joint_train.py) and VideoKernelIterHead /
+VideoKernelUpdateHead (knet/video/kernel_iter_head.py, kernel_update_head.py):
+
+train: key frame + one reference frame run the full K-Net with shared weights; the
+key branch cross-attends its final-stage kernels with the ref branch's final kernels
+("kernel linking", last stage only); final kernels of both branches are embedded by
+embed_fcs -> fc_embed -> track MLP and supervised with MultiPosCE + L2 on
+instance-id match targets.
+
+test (online, stateful): per frame, carrying (prev obj_feats, prev x_feats,
+prev scaled masks) as an explicit pytree; linking is *always* computed (against
+zeros on the first frame) so one jitted graph serves every frame, and first-frame
+semantics are restored by selecting unlinked kernels when `is_first`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from video_knet_tpu.config import VideoKNetConfig
+from video_knet_tpu.models.kernel_head import ConvKernelHead, RPNOutputs
+from video_knet_tpu.models.kernel_iter_head import StageOutput, upscale_masks
+from video_knet_tpu.models.kernel_update_head import KernelUpdateHead
+from video_knet_tpu.models.knet import (
+    PanopticPrediction,
+    _batched_assign,
+    iter_head_losses,
+    panoptic_decode,
+    rpn_loss,
+)
+from video_knet_tpu.models.resnet import FPN, ResNet
+from video_knet_tpu.ops import losses as L
+import video_knet_tpu.ops.hungarian as hung
+from video_knet_tpu.ops.targets import PanopticGT
+
+Array = jax.Array
+
+
+class BranchOutput(NamedTuple):
+    rpn_out: RPNOutputs
+    stage_outs: list[StageOutput]
+    obj_feats_track: Array | None  # [B, N_tot, K*K, C] linked kernels (key branch)
+
+
+class TrackEmbed(nn.Module):
+    """embed_fcs (Linear no-bias -> LN -> ReLU) + fc_embed, then the track-head MLP
+    (QuasiDenseMaskEmbedHeadGTMask with num_convs=0, num_fcs=2: Linear-ReLU x2 ->
+    fc_embed). joint_train.py:114-126 + track_heads.py:634-642."""
+
+    channels: int = 256
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # [..., C] kernel vectors
+        y = nn.Dense(self.channels, use_bias=False, name="embed_fc0")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="embed_ln0")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, name="fc_embed")(y)
+        # track head MLP
+        y = nn.relu(nn.Dense(self.channels, name="track_fc0")(y))
+        y = nn.relu(nn.Dense(self.channels, name="track_fc1")(y))
+        return nn.Dense(self.channels, name="track_fc_embed")(y)
+
+
+class VideoKNet(nn.Module):
+    cfg: VideoKNetConfig
+    train: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.backbone = ResNet(
+            depth=50 if cfg.backbone == "resnet50" else 101,
+            frozen_stages=cfg.frozen_stages,
+            norm_eval=cfg.norm_eval,
+            train=self.train,
+        )
+        self.neck = FPN()
+        self.rpn_head = ConvKernelHead(cfg.rpn)
+        self.heads = [
+            KernelUpdateHead(
+                cfg.head,
+                with_previous=(cfg.link_previous and s == cfg.num_stages - 1),
+                name=f"mask_head_{s}",
+            )
+            for s in range(cfg.num_stages)
+        ]
+        self.track_embed = TrackEmbed(cfg.track.embed_channels)
+
+    def extract_feat(self, img: Array) -> Array:
+        return self.neck(self.backbone(img))
+
+    def run_branch(
+        self, img: Array, previous_obj_feats: Array | None = None
+    ) -> BranchOutput:
+        """Full K-Net on one frame; linking at the last stage when previous given."""
+        cfg = self.cfg
+        fpn = self.extract_feat(img)
+        rpn_out = self.rpn_head(fpn)
+        outs = []
+        object_feats = rpn_out.proposal_feats
+        mask_preds = rpn_out.mask_preds
+        obj_track = None
+        for s, head in enumerate(self.heads):
+            prev = previous_obj_feats if s == cfg.num_stages - 1 else None
+            cls_score, mask_preds, object_feats, track = head(
+                rpn_out.x_feats, object_feats, mask_preds, previous_obj_feats=prev
+            )
+            scaled = upscale_masks(mask_preds, cfg.head.mask_upsample_stride)
+            outs.append(StageOutput(cls_score, mask_preds, scaled, object_feats))
+            if track is not None:
+                obj_track = track
+        return BranchOutput(rpn_out, outs, obj_track)
+
+    def __call__(
+        self, img: Array, ref_img: Array
+    ) -> tuple[BranchOutput, BranchOutput, Array, Array]:
+        """Joint train forward: ref branch plain, key branch linked to ref kernels.
+
+        Returns (key, ref, key_embeds, ref_embeds); embeddings are computed for all
+        proposals (the loss gathers the assigned ones, joint_train.py:426-452).
+        """
+        ref = self.run_branch(ref_img, None)
+        # previous_detach defaults to False (kernel_update_head.py:53): gradients
+        # flow through the ref-branch kernels into the linking attention.
+        prev_obj = ref.stage_outs[-1].object_feats
+        key = self.run_branch(img, prev_obj if self.cfg.link_previous else None)
+        n = self.cfg.num_proposals
+        key_src = key.obj_feats_track if key.obj_feats_track is not None else key.stage_outs[-1].object_feats
+        key_embeds = self.embed(key_src[:, :n])
+        ref_embeds = self.embed(ref.stage_outs[-1].object_feats[:, :n])
+        return key, ref, key_embeds, ref_embeds
+
+    def embed(self, kernels: Array) -> Array:
+        """Track embeddings from kernel vectors [..., K*K, C] (uses tap 0 = K=1)."""
+        return self.track_embed(kernels[..., 0, :])
+
+    def test_step(
+        self,
+        img: Array,
+        prev_obj_feats: Array,
+        is_first: Array,
+    ) -> dict[str, Any]:
+        """One online inference step (stateless module; caller carries memory).
+
+        Always runs the linking branch (prev_obj_feats = zeros on first frame);
+        `is_first` selects unlinked kernels for tracking, matching
+        kernel_iter_head.py:479-480.
+        """
+        cfg = self.cfg
+        key = self.run_branch(img, prev_obj_feats if cfg.link_previous else None)
+        last = key.stage_outs[-1]
+        track_src = last.object_feats if key.obj_feats_track is None else jnp.where(
+            is_first, last.object_feats, key.obj_feats_track
+        )
+        embeds = self.embed(track_src[:, : cfg.num_proposals])  # [B, N, D]
+        return dict(
+            rpn_out=key.rpn_out,
+            stage_outs=key.stage_outs,
+            track_obj_feats=track_src,
+            track_embeds=embeds,
+            new_obj_feats=last.object_feats,
+        )
+
+
+def _track_loss_one(
+    key_emb: Array,  # [G, D] embeddings gathered at key GT slots
+    ref_emb: Array,  # [G, D]
+    key_valid: Array,  # [G] matched-and-valid
+    ref_valid: Array,  # [G]
+    key_ids: Array,  # [G] instance ids
+    ref_ids: Array,  # [G]
+    *,
+    loss_track_weight: float,
+    aux_weight: float,
+    aux_neg_pos_ub: int,
+    aux_neg_margin: float,
+) -> tuple[Array, Array]:
+    """Per-image MultiPosCE + L2-aux on GT-slot-aligned embeddings.
+
+    Works in GT-slot space instead of the reference's gathered positive lists
+    (track_heads.py:644-702): rows/cols are GT slots; invalid pairs get target -1.
+    """
+    pair_valid = key_valid[:, None] & ref_valid[None, :]
+    same = (key_ids[:, None] == ref_ids[None, :]) & pair_valid
+    targets = jnp.where(pair_valid, same.astype(jnp.int32), -1)
+    weights = (jnp.sum(same, axis=1) > 0).astype(jnp.float32)
+
+    dists = key_emb @ ref_emb.T
+    loss_track = L.multi_pos_cross_entropy(
+        dists, targets, weights,
+        loss_weight=loss_track_weight, avg_factor=jnp.sum(weights),
+    )
+    loss_track = jnp.where(jnp.sum(weights) > 0, loss_track, 0.0)
+
+    key_n = key_emb / jnp.maximum(jnp.linalg.norm(key_emb, axis=-1, keepdims=True), 1e-12)
+    ref_n = ref_emb / jnp.maximum(jnp.linalg.norm(ref_emb, axis=-1, keepdims=True), 1e-12)
+    cos = key_n @ ref_n.T
+    loss_aux = L.l2_track_aux_loss(
+        cos, targets,
+        neg_pos_ub=aux_neg_pos_ub, neg_margin=aux_neg_margin, loss_weight=aux_weight,
+    )
+    loss_aux = jnp.where(jnp.any(pair_valid), loss_aux, 0.0)
+    return loss_track, loss_aux
+
+
+def video_knet_loss(
+    model_out: tuple[BranchOutput, BranchOutput],
+    embeds: tuple[Array, Array],
+    gt: PanopticGT,
+    ref_gt: PanopticGT,
+    cfg: VideoKNetConfig,
+) -> dict[str, Array]:
+    """All VPS losses: key rpn/iter, ref rpn/iter (suffix _ref), tracking.
+
+    joint_train.py:341-468. `embeds` are (key_embeds, ref_embeds) [B, N, D]
+    computed by VideoKNet.embed on (obj_feats_track, ref final obj_feats).
+    """
+    key, ref = model_out
+    losses = rpn_loss(key.rpn_out, gt, cfg)
+    iter_losses, _ = iter_head_losses(key.rpn_out, key.stage_outs, gt, cfg)
+    losses.update(iter_losses)
+    ref_losses = rpn_loss(ref.rpn_out, ref_gt, cfg)
+    losses.update({f"{k}_ref_rpn": v for k, v in ref_losses.items()})
+    ref_iter, _ = iter_head_losses(ref.rpn_out, ref.stage_outs, ref_gt, cfg)
+    losses.update({f"{k}_ref": v for k, v in ref_iter.items()})
+
+    # tracking assignment on the *final* stage outputs (joint_train.py:406-423)
+    n_prop = cfg.num_proposals
+    key_last, ref_last = key.stage_outs[-1], ref.stage_outs[-1]
+
+    def assign_branch(branch_last: StageOutput, branch_gt: PanopticGT) -> Array:
+        masks = branch_last.scaled_mask_preds[:, :n_prop]
+        cls = branch_last.cls_score[:, :n_prop, : cfg.num_thing_classes]
+
+        def one(m, c, gm, gv, gl):
+            cost = hung.hungarian_cost_matrix(
+                jax.lax.stop_gradient(m), gm, jax.lax.stop_gradient(c), gl,
+                cls_weight=cfg.assigner.cls_weight,
+                dice_weight=cfg.assigner.dice_weight,
+                mask_weight=cfg.assigner.mask_weight,
+            )
+            return hung.pad_and_solve(cost, gv)[1]  # pred_of_gt
+
+        return jax.vmap(one)(masks, cls, branch_gt.masks, branch_gt.valid, branch_gt.labels)
+
+    key_pred_of_gt = assign_branch(key_last, gt)  # [B, G]
+    ref_pred_of_gt = assign_branch(ref_last, ref_gt)
+
+    key_emb, ref_emb = embeds  # [B, N, D]
+
+    def gather(emb, pred_of_gt):
+        safe = jnp.maximum(pred_of_gt, 0)
+        return jnp.take_along_axis(emb, safe[..., None], axis=1)
+
+    key_emb_g = gather(key_emb, key_pred_of_gt)
+    ref_emb_g = gather(ref_emb, ref_pred_of_gt)
+    key_valid = (key_pred_of_gt >= 0) & gt.valid
+    ref_valid = (ref_pred_of_gt >= 0) & ref_gt.valid
+
+    t = cfg.track
+    loss_track, loss_aux = jax.vmap(
+        lambda a, b, c_, d, e, f: _track_loss_one(
+            a, b, c_, d, e, f,
+            loss_track_weight=t.loss_track_weight,
+            aux_weight=t.loss_track_aux_weight,
+            aux_neg_pos_ub=t.aux_neg_pos_ub,
+            aux_neg_margin=t.aux_neg_margin,
+        )
+    )(key_emb_g, ref_emb_g, key_valid, ref_valid, gt.instance_ids, ref_gt.instance_ids)
+    losses["loss_track"] = jnp.mean(loss_track)
+    losses["loss_track_aux"] = jnp.mean(loss_aux)
+    return losses
+
+
+def vps_decode(
+    rpn_out: RPNOutputs,
+    stage_outs: list[StageOutput],
+    track_obj_feats: Array,
+    cfg: VideoKNetConfig,
+    out_hw: tuple[int, int],
+) -> PanopticPrediction:
+    """Panoptic decode using the *linked* kernels for the thing-track handles."""
+    last = stage_outs[-1]
+    patched = [*stage_outs[:-1], StageOutput(
+        last.cls_score, last.mask_preds, last.scaled_mask_preds, track_obj_feats
+    )]
+    return panoptic_decode(rpn_out, patched, cfg, out_hw=out_hw)

@@ -6,5 +6,5 @@ from video_knet_tpu.ops.losses import (
     multi_pos_cross_entropy,
     l2_track_aux_loss,
 )
-from video_knet_tpu.ops.hungarian import hungarian, hungarian_cost_matrix
+from video_knet_tpu.ops.hungarian import hungarian_cost_matrix
 from video_knet_tpu.ops.mask_pool import mask_pool
