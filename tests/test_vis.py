@@ -1,0 +1,121 @@
+"""KNetVIS: clip forward, tube losses, whole-clip decode smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dataclasses
+
+from video_knet_tpu.config import ConvKernelHeadConfig, KernelUpdateHeadConfig
+from video_knet_tpu.config import TestCfg as InferenceCfg
+from video_knet_tpu.config_vis import VISConfig
+from video_knet_tpu.models.vis.knet_vis import (
+    ClipGT,
+    KNetVIS,
+    frame_gt_from_clip,
+    knet_vis_loss,
+    vis_decode,
+)
+
+
+def tiny_vis_cfg():
+    return VISConfig(
+        num_classes=5,
+        num_proposals=8,
+        num_frames=2,
+        max_insts=4,
+        rpn=ConvKernelHeadConfig(
+            num_proposals=8, num_classes=5, num_thing_classes=5, num_stuff_classes=0,
+            cat_stuff_mask=False, feat_downsample_stride=2, loss_rank_weight=0.1,
+        ),
+        head=KernelUpdateHeadConfig(
+            num_classes=5, num_thing_classes=5, num_stuff_classes=0,
+            mask_upsample_stride=2, feedforward_channels=256,
+        ),
+        test=InferenceCfg(max_per_img=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def vis_setup():
+    cfg = tiny_vis_cfg()
+    model = KNetVIS(cfg, train=True)
+    clip = jnp.zeros((1, 2, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    return cfg, model, variables, clip
+
+
+def _make_clip_gt(cfg, b, t, hw):
+    h, w = hw
+    g = cfg.max_insts
+    masks = np.zeros((b, g, t, h, w), np.float32)
+    masks[:, 0, :, : h // 2, : w // 2] = 1.0
+    masks[:, 1, 0, h // 2 :, :] = 1.0  # instance present only in frame 0
+    labels = np.zeros((b, g), np.int32)
+    labels[:, 1] = 2
+    valid = np.zeros((b, g), bool)
+    valid[:, :2] = True
+    return ClipGT(jnp.asarray(masks), jnp.asarray(labels), jnp.asarray(valid))
+
+
+def test_vis_forward_shapes(vis_setup):
+    cfg, model, variables, clip = vis_setup
+    outs = model.apply(variables, clip, mutable=False)
+    b, t = 1, 2
+    n = cfg.num_proposals
+    assert outs.rpn_out.mask_preds.shape[0] == b * t
+    assert len(outs.clip_stage_outs) == cfg.tracker_num_stages
+    for s, so in enumerate(outs.clip_stage_outs):
+        assert so.mask_preds.shape == (b, t, n, 8, 12)
+        if s < cfg.tracker_assign_stages:
+            assert so.cls_score.shape == (b, n, cfg.num_classes)
+            assert so.object_feats.shape == (b, n, 256)
+        else:
+            assert so.cls_score is None
+            assert so.object_feats.shape == (b, t, n, 256)
+
+
+def test_frame_gt_from_clip(vis_setup):
+    cfg = vis_setup[0]
+    gt = _make_clip_gt(cfg, 1, 2, (16, 24))
+    fgt = frame_gt_from_clip(gt)
+    assert fgt.masks.shape == (2, cfg.max_insts, 16, 24)
+    # instance 1 appears only in frame 0
+    assert bool(fgt.valid[0, 1]) and not bool(fgt.valid[1, 1])
+
+
+def test_vis_loss_finite(vis_setup):
+    cfg, model, variables, clip = vis_setup
+    gt = _make_clip_gt(cfg, 1, 2, (16, 24))
+
+    @jax.jit
+    def loss_fn(params):
+        outs = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, clip
+        )
+        losses = knet_vis_loss(outs, gt, cfg)
+        return sum(losses.values()), losses
+
+    total, losses = loss_fn(variables["params"])
+    keys = set(losses)
+    assert "tracker_s0_loss_cls" in keys and "tracker_s0_loss_dice" in keys
+    assert "tracker_s2_loss_dice" in keys
+    assert "tracker_s2_loss_cls" not in keys  # per-frame stage has no cls
+    assert "s0_loss_cls" in keys  # per-frame image head losses present
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    grads = jax.jit(
+        jax.grad(lambda p: loss_fn(p)[0])
+    )(variables["params"])
+    g = grads["tracker"]["mask_head_0"]["fc_mask"]["kernel"]
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_vis_decode(vis_setup):
+    cfg, model, variables, clip = vis_setup
+    outs = model.apply(variables, clip, mutable=False)
+    pred = jax.jit(lambda o: vis_decode(o, cfg, out_hw=(64, 96)))(outs)
+    assert pred.masks.shape == (2, 4, 64, 96)
+    assert pred.labels.shape == (4,)
+    assert pred.track_ids.tolist() == [0, 1, 2, 3]

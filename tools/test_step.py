@@ -1,0 +1,106 @@
+"""Online VPS inference over a DVPS dataset; dumps per-frame PNGs.
+
+Equivalent surface to the reference's tools/test_step.py:24-75: for every frame in
+sequence order run the stateful per-frame step (tracker resets at sequence
+boundaries) and write `{seq}/{frame}_cat.png`, `{seq}/{frame}_ins.png` and the
+3-channel `final/` visualization consumed by the offline VPQ/STQ evaluators.
+
+Usage:
+  python tools/test_step.py --data-root data/kitti-step --checkpoint ckpt \
+      --out out/vps [--split val]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--dataset", default="kitti_step", choices=["kitti_step", "vipseg"])
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--split", default="val")
+    p.add_argument("--out", required=True)
+    p.add_argument("--size", type=int, nargs=2, default=[384, 1248],
+                   help="inference H W (static shape)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from video_knet_tpu.config import kitti_step_video_config, vipseg_video_config
+    from video_knet_tpu.data.datasets import KittiStepDVPS, VIPSegDVPS
+    from video_knet_tpu.data.panoptic_png import encode_two_channel_vps, load_png, save_png
+    from video_knet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, bilinear_resize
+    from video_knet_tpu.models.video.inference import VPSInferencePipeline
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.utils.checkpoint import merge_params, restore_checkpoint
+
+    cfg = (
+        kitti_step_video_config()
+        if args.dataset == "kitti_step"
+        else vipseg_video_config()
+    )
+    cfg = dataclasses.replace(cfg, backbone=args.backbone)
+    ds_cls = KittiStepDVPS if args.dataset == "kitti_step" else VIPSegDVPS
+    ds = ds_cls(args.data_root, split=args.split)
+
+    model = VideoKNet(cfg, train=False)
+    h, w = args.size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    if args.checkpoint:
+        loaded = restore_checkpoint(args.checkpoint)
+        params = loaded.get("params", loaded)
+        variables = {
+            "params": merge_params(variables["params"], params),
+            "batch_stats": loaded.get("batch_stats", variables.get("batch_stats", {})),
+        }
+
+    thing_ids = ds.thing_ids_in_seg if args.dataset == "kitti_step" else None
+    pipe = VPSInferencePipeline(
+        model, variables, cfg, out_hw=(h, w), thing_ids_in_orig=thing_ids
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    n = 0
+    t0 = time.time()
+    for sample, is_first in ds.iter_test():
+        rgb = load_png(sample.img)
+        ori_hw = rgb.shape[:2]
+        x = bilinear_resize(rgb, (h, w))
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        res = pipe.run_frame(jnp.asarray(x)[None], is_first=is_first)
+
+        seq_dir = os.path.join(args.out, "panoptic", str(sample.seq_id))
+        final_dir = os.path.join(args.out, "final", str(sample.seq_id))
+        os.makedirs(seq_dir, exist_ok=True)
+        os.makedirs(final_dir, exist_ok=True)
+        # resize label maps back to original resolution (nearest)
+        from video_knet_tpu.data.transforms import nearest_resize
+
+        sem = nearest_resize(res.semantic_map.astype(np.int32), ori_hw)
+        trk = nearest_resize(res.track_map.astype(np.int32), ori_hw)
+        stem = f"{sample.img_id:06d}"
+        save_png(os.path.join(seq_dir, stem + "_cat.png"), sem.astype(np.uint8))
+        save_png(os.path.join(seq_dir, stem + "_ins.png"),
+                 (trk % 65536).astype(np.uint16))
+        save_png(os.path.join(final_dir, stem + ".png"),
+                 encode_two_channel_vps(sem, trk))
+        n += 1
+        if n % 50 == 0:
+            print(f"{n} frames, {n / (time.time() - t0):.2f} fps")
+    print(f"done: {n} frames in {time.time() - t0:.1f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Dataset scanners for the DVPS video-sequence directory layout.
+
+Behavioral rebuild of the reference dataset classes (external/kitti_step_dvps.py:38,
+external/vipseg_dvps.py:322): scan `video_sequence/{split}` for image/panoptic PNG
+pairs, index frames by (seq_id, img_id), and form (key, ref) training pairs by
+sampling one offset from `ref_seq_index` — pairs whose ref frame does not exist are
+dropped (kitti_step_dvps.py:92-108). Test mode returns frames in sequence order with
+an `is_first` flag per sequence.
+
+The samples hold paths only; decode + transform happen in the loader workers.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass
+from typing import Sequence
+
+
+@dataclass(frozen=True)
+class DVPSSample:
+    seq_id: int
+    img_id: int
+    img: str
+    ann: str | None
+    depth: str | None = None
+
+
+class _DVPSScan:
+    """Directory scan shared by the STEP-style datasets."""
+
+    img_token = "leftImg8bit"
+    ann_token = "panoptic"
+    depth_token = "depth"
+
+    # label-space constants (overridden per dataset)
+    num_thing_classes = 2
+    num_stuff_classes = 17
+    thing_ids_in_seg: Sequence[int] = (11, 13)
+    no_obj_class = 255
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str = "train",
+        ref_seq_index: Sequence[int] | None = None,
+        with_depth: bool = False,
+        seed: int = 0,
+    ):
+        self.data_root = os.path.expanduser(data_root)
+        seq_dir = os.path.join(self.data_root, "video_sequence", split)
+        if not os.path.isdir(seq_dir):
+            raise FileNotFoundError(seq_dir)
+        self.ref_seq_index = list(ref_seq_index or [])
+        self.with_depth = with_depth
+        self._rng = random.Random(seed)
+
+        frames: dict[tuple[int, int], DVPSSample] = {}
+        for name in sorted(os.listdir(seq_dir)):
+            if self.img_token not in name:
+                continue
+            seq_s, img_s, _ = name.split("_", maxsplit=2)
+            full = os.path.join(seq_dir, name)
+            ann = full.replace(self.img_token, self.ann_token)
+            s = DVPSSample(
+                seq_id=int(seq_s),
+                img_id=int(img_s),
+                img=full,
+                ann=ann if os.path.exists(ann) else None,
+                depth=full.replace(self.img_token, self.depth_token)
+                if with_depth
+                else None,
+            )
+            frames[(s.seq_id, s.img_id)] = s
+        self.frames = frames
+        self.order = sorted(frames.keys())
+
+        if self.ref_seq_index:
+            self.pairs = [
+                k
+                for k in self.order
+                if any((k[0], k[1] + d) in frames for d in self.ref_seq_index)
+            ]
+        else:
+            self.pairs = list(self.order)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def get_pair(self, idx: int) -> tuple[DVPSSample, DVPSSample]:
+        """Key frame + one randomly-offset existing reference frame."""
+        key = self.frames[self.pairs[idx]]
+        if not self.ref_seq_index:
+            return key, key
+        choices = [
+            d
+            for d in self.ref_seq_index
+            if (key.seq_id, key.img_id + d) in self.frames
+        ]
+        d = self._rng.choice(choices)
+        return key, self.frames[(key.seq_id, key.img_id + d)]
+
+    def iter_test(self):
+        """Yield (sample, is_first) in sequence order (online VPS inference)."""
+        prev_seq = None
+        for k in self.order:
+            s = self.frames[k]
+            yield s, s.seq_id != prev_seq
+            prev_seq = s.seq_id
+
+
+class KittiStepDVPS(_DVPSScan):
+    """KITTI-STEP: 19 cityscapes classes, things = person(11), car(13).
+
+    external/kitti_step_dvps.py:38-108. Panoptic GT is RGB-encoded
+    (decode_kitti_panoptic). Train seqs [0,1,3,4,5,9,11,12,15,17,19,20], val
+    [2,6,7,8,10,13,14,16,18] (scripts/kitti_step_prepare.py:4-11).
+    """
+
+    CLASSES = (
+        "road", "sidewalk", "building", "wall", "fence", "pole",
+        "traffic light", "traffic sign", "vegetation", "terrain", "sky",
+        "person", "rider", "car", "truck", "bus", "train", "motorcycle",
+        "bicycle",
+    )
+    num_thing_classes = 2
+    num_stuff_classes = 17
+    thing_ids_in_seg = (11, 13)
+    ann_mode = "kitti_rgb"
+
+
+class VIPSegDVPS(_DVPSScan):
+    """VIP-Seg: 124 classes (58 thing / 66 stuff), divisor-1000 id PNGs.
+
+    external/vipseg_dvps.py:322 (ref_seq_index [-2,-1,1,2], short-side-720 resize).
+    """
+
+    num_thing_classes = 58
+    num_stuff_classes = 66
+    thing_ids_in_seg = tuple(range(58))  # things-first label space
+    ann_mode = "divisor"
+    img_token = "img"
+    ann_token = "panoptic"
+
+
+class CityscapesSTEPImages:
+    """Cityscapes-STEP single-frame panoptic (image K-Net pretraining surface).
+
+    Mirrors external/cityscapes_step.py:12: standard cityscapes leftImg8bit tree +
+    STEP panoptic GT; exposes the same 19-class / 2-thing label space as KITTI-STEP.
+    """
+
+    CLASSES = KittiStepDVPS.CLASSES
+    num_thing_classes = 2
+    num_stuff_classes = 17
+    thing_ids_in_seg = (11, 13)
+
+    def __init__(self, data_root: str, split: str = "train"):
+        self.data_root = os.path.expanduser(data_root)
+        img_dir = os.path.join(self.data_root, "leftImg8bit", split)
+        ann_dir = os.path.join(self.data_root, "panoptic", split)
+        if not os.path.isdir(img_dir):
+            raise FileNotFoundError(img_dir)
+        self.samples: list[DVPSSample] = []
+        for city in sorted(os.listdir(img_dir)):
+            for name in sorted(os.listdir(os.path.join(img_dir, city))):
+                img = os.path.join(img_dir, city, name)
+                ann = os.path.join(
+                    ann_dir, city, name.replace("leftImg8bit", "panoptic")
+                )
+                self.samples.append(
+                    DVPSSample(
+                        seq_id=0,
+                        img_id=len(self.samples),
+                        img=img,
+                        ann=ann if os.path.exists(ann) else None,
+                    )
+                )
+
+    def __len__(self):
+        return len(self.samples)

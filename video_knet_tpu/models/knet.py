@@ -40,12 +40,13 @@ class KNet(nn.Module):
     @nn.compact
     def __call__(self, img: Array) -> tuple[RPNOutputs, list[StageOutput]]:
         cfg = self.cfg
-        feats = ResNet(
-            depth=50 if cfg.backbone == "resnet50" else 101,
+        from video_knet_tpu.models.backbones import build_backbone
+
+        feats = build_backbone(
+            cfg.backbone,
             frozen_stages=cfg.frozen_stages,
             norm_eval=cfg.norm_eval,
             train=self.train,
-            name="backbone",
         )(img)
         fpn = FPN(name="neck")(feats)
         rpn_out = ConvKernelHead(cfg.rpn, name="rpn_head")(fpn)

@@ -75,11 +75,14 @@ class VideoKNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.backbone = ResNet(
-            depth=50 if cfg.backbone == "resnet50" else 101,
+        from video_knet_tpu.models.backbones import build_backbone
+
+        self.backbone = build_backbone(
+            cfg.backbone,
             frozen_stages=cfg.frozen_stages,
             norm_eval=cfg.norm_eval,
             train=self.train,
+            module_name=None,
         )
         self.neck = FPN()
         self.rpn_head = ConvKernelHead(cfg.rpn)

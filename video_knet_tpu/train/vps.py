@@ -1,0 +1,134 @@
+"""VPS trainer assembly: batch container, loss function, and the sharded train step.
+
+This is the TPU-native equivalent of the reference's `external/train.py:train_detector`
+driving `VideoKNetQuansiEmbedFCJointTrain.forward_train`
+(knet/video/knet_quansi_dense_embed_fc_joint_train.py:225): one jitted function holds
+forward (key + ref branch), all losses, grads, clip, and the AdamW update; gradient
+all-reduce over the data axis is inserted by XLA from the shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_knet_tpu.config import KNetConfig, VideoKNetConfig
+from video_knet_tpu.models.knet import KNet, knet_loss
+from video_knet_tpu.models.video.knet_vps import VideoKNet, video_knet_loss
+from video_knet_tpu.ops.targets import PanopticGT
+from video_knet_tpu.train.train_state import TrainState
+
+Array = jax.Array
+
+
+class VPSBatch(NamedTuple):
+    """One key+ref training pair at fixed shapes.
+
+    img / ref_img: [B, H, W, 3] normalized images.
+    gt / ref_gt:   PanopticGT at mask-assign-stride resolution.
+    """
+
+    img: Array
+    ref_img: Array
+    gt: PanopticGT
+    ref_gt: PanopticGT
+
+
+def make_synthetic_gt(cfg: KNetConfig, b: int, hw: tuple[int, int], seed: int = 0,
+                      ids_offset: int = 0) -> PanopticGT:
+    """Deterministic synthetic GT used by tests, dryruns, and benchmarks."""
+    h, w = hw
+    g, s = cfg.max_insts, cfg.num_stuff_classes
+    rng = np.random.RandomState(seed)
+    masks = np.zeros((b, g, h, w), np.float32)
+    n_real = min(4, g)
+    for i in range(n_real):
+        y0, x0 = rng.randint(0, h // 2), rng.randint(0, w // 2)
+        masks[:, i, y0 : y0 + h // 3, x0 : x0 + w // 3] = 1.0
+    labels = rng.randint(0, cfg.num_thing_classes, size=(b, g)).astype(np.int32)
+    valid = np.zeros((b, g), bool)
+    valid[:, :n_real] = True
+    ids = np.where(valid, np.arange(g)[None] + ids_offset, -1).astype(np.int32)
+    sem = np.zeros((b, s, h, w), np.float32)
+    sem[:, 0] = 1.0 - masks.max(axis=1)
+    sem_valid = np.zeros((b, s), bool)
+    sem_valid[:, 0] = True
+    return PanopticGT(
+        masks=jnp.asarray(masks),
+        labels=jnp.asarray(labels),
+        valid=jnp.asarray(valid),
+        instance_ids=jnp.asarray(ids),
+        sem_masks=jnp.asarray(sem),
+        sem_valid=jnp.asarray(sem_valid),
+    )
+
+
+def make_synthetic_batch(cfg: VideoKNetConfig, b: int, hw: tuple[int, int],
+                         seed: int = 0) -> VPSBatch:
+    h, w = hw
+    s = cfg.mask_assign_stride
+    rng = np.random.RandomState(seed)
+    img = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    ref_img = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    gt = make_synthetic_gt(cfg, b, (h // s, w // s), seed=seed)
+    ref_gt = make_synthetic_gt(cfg, b, (h // s, w // s), seed=seed + 1)
+    return VPSBatch(img, ref_img, gt, ref_gt)
+
+
+def make_vps_loss_fn(model: VideoKNet, cfg: VideoKNetConfig):
+    """loss_fn(params, batch_stats, batch) -> (total, (loss_dict, new_batch_stats))."""
+
+    def loss_fn(params, batch_stats, batch: VPSBatch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats"] if (model.train and not cfg.norm_eval) else False
+        if mutable:
+            (key, ref, key_emb, ref_emb), updates = model.apply(
+                variables, batch.img, batch.ref_img, mutable=mutable
+            )
+            new_bs = updates["batch_stats"]
+        else:
+            key, ref, key_emb, ref_emb = model.apply(
+                variables, batch.img, batch.ref_img, mutable=False
+            )
+            new_bs = batch_stats
+        losses = video_knet_loss(
+            (key, ref), (key_emb, ref_emb), batch.gt, batch.ref_gt, cfg
+        )
+        total = sum(losses.values())
+        return total, (losses, new_bs)
+
+    return loss_fn
+
+
+def make_sharded_train_step(model: VideoKNet, cfg: VideoKNetConfig,
+                            tx: optax.GradientTransformation, mesh: Mesh):
+    """Jitted data-parallel train step over `mesh` (state replicated, batch sharded)."""
+    loss_fn = make_vps_loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch: VPSBatch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (loss_dict, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        loss_dict = dict(loss_dict)
+        loss_dict["total_loss"] = total
+        return TrainState(state.step + 1, new_params, new_bs, new_opt), loss_dict
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    # every leaf of the batch is sharded on its leading (batch) axis
+    gt_sh = PanopticGT(data, data, data, data, data, data)
+    batch_sh = VPSBatch(data, data, gt_sh, gt_sh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

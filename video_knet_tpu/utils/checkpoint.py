@@ -1,0 +1,127 @@
+"""Checkpoint save/restore + torch->JAX weight import.
+
+Replaces the reference's mmcv runner checkpointing (SURVEY.md §5.4: per-epoch
+save with meta, `--resume-from` restoring model+optimizer+epoch, `--load-from`
+weights-only) with orbax pytree checkpoints, and provides name-mapping importers
+so torch-trained reference weights (ResNet-50 backbones and full K-Net
+checkpoints) can seed parity tests, mirroring the two-phase transfer workflow
+(image pretrain -> video finetune, README.md:59-80).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(path: str, state: Any, *, step: int | None = None) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if step is not None:
+        path = os.path.join(path, f"step_{step}")
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def restore_checkpoint(path: str, target: Any | None = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(os.path.abspath(path), item=jax.device_get(target))
+    return ckptr.restore(os.path.abspath(path))
+
+
+def _t2j(w) -> np.ndarray:
+    return np.asarray(w.detach().cpu().numpy() if hasattr(w, "detach") else w)
+
+
+def _conv(w) -> np.ndarray:
+    """torch conv [O, I, kh, kw] -> flax [kh, kw, I, O]."""
+    return _t2j(w).transpose(2, 3, 1, 0)
+
+
+def import_torch_resnet(
+    state_dict: Mapping[str, Any], prefix: str = "backbone."
+) -> tuple[dict, dict]:
+    """mmdet/torchvision-style ResNet state_dict -> (params, batch_stats) pytrees
+    matching video_knet_tpu.models.resnet.ResNet naming.
+
+    Handles torchvision ('layer1.0.conv1.weight') and mmcv ('backbone.layer1...')
+    prefixes; SyncBN/BN both map to flax BatchNorm(scale/bias + running stats).
+    """
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(val)
+
+    def map_bn(src, dst):
+        put(params, dst + ("scale",), _t2j(sd[src + ".weight"]))
+        put(params, dst + ("bias",), _t2j(sd[src + ".bias"]))
+        put(stats, dst + ("mean",), _t2j(sd[src + ".running_mean"]))
+        put(stats, dst + ("var",), _t2j(sd[src + ".running_var"]))
+
+    put(params, ("conv1", "kernel"), _conv(sd["conv1.weight"]))
+    map_bn("bn1", ("bn1",))
+    for key in sd:
+        m = re.match(r"layer(\d)\.(\d+)\.conv(\d)\.weight$", key)
+        if m:
+            s, b, c = m.groups()
+            blk = f"layer{s}_block{b}"
+            put(params, (blk, f"conv{c}", "kernel"), _conv(sd[key]))
+            map_bn(f"layer{s}.{b}.bn{c}", (blk, f"bn{c}"))
+        m = re.match(r"layer(\d)\.(\d+)\.downsample\.0\.weight$", key)
+        if m:
+            s, b = m.groups()
+            blk = f"layer{s}_block{b}"
+            put(params, (blk, "downsample_conv", "kernel"), _conv(sd[key]))
+            map_bn(f"layer{s}.{b}.downsample.1", (blk, "downsample_bn"))
+    return params, stats
+
+
+def import_torch_fpn(state_dict: Mapping[str, Any], prefix: str = "neck.") -> dict:
+    """mmdet FPN state_dict -> params for models.resnet.FPN."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    params: dict = {}
+    for i in range(4):
+        params[f"lateral{i}"] = {
+            "kernel": _conv(sd[f"lateral_convs.{i}.conv.weight"]),
+            "bias": _t2j(sd[f"lateral_convs.{i}.conv.bias"]),
+        }
+        params[f"fpn_conv{i}"] = {
+            "kernel": _conv(sd[f"fpn_convs.{i}.conv.weight"]),
+            "bias": _t2j(sd[f"fpn_convs.{i}.conv.bias"]),
+        }
+    return params
+
+
+def load_torch_file(path: str) -> Mapping[str, Any]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return obj.get("state_dict", obj)
+
+
+def merge_params(target: dict, imported: dict) -> dict:
+    """Recursively overlay imported leaves onto a target params tree (shape-checked)."""
+    out = dict(target)
+    for k, v in imported.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            if k in out and hasattr(out[k], "shape") and out[k].shape != v.shape:
+                raise ValueError(f"shape mismatch at {k}: {out[k].shape} vs {v.shape}")
+            out[k] = v
+    return out
