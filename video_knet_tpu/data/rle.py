@@ -15,6 +15,14 @@ import numpy as np
 
 def mask_to_counts(mask: np.ndarray) -> np.ndarray:
     """Binary [H, W] mask -> column-major run lengths (first run is of zeros)."""
+    try:
+        from video_knet_tpu.native.png_codec import rle_encode_counts
+
+        native = rle_encode_counts(np.asarray(mask))
+        if native is not None:
+            return native
+    except Exception:
+        pass
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     n = flat.size
     if n == 0:

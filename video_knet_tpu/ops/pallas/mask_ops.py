@@ -1,0 +1,168 @@
+"""Pallas TPU kernels for the K-Net mask ops.
+
+Two memory-bound chains from the kernel-update head are fused so intermediates
+stay in VMEM instead of round-tripping HBM:
+
+1. `fused_mask_pool` — group-feature gathering (kernel_update_head.py:190-195 in
+   the reference): out[n, c] = sum_hw [sigmoid(mask[n, hw]) > thr] * feat[hw, c].
+   The [N, HW] binarized mask is produced tile-by-tile in VMEM and consumed by
+   the MXU immediately; HBM traffic is just mask logits + features once.
+
+2. `fused_assemble_sigmoid` — dynamic-conv mask assembly + sigmoid
+   (kernel_update_head.py:251-257 + the decode-side sigmoid): probs[n, hw] =
+   sigmoid(kernels[n, :] @ feat[hw, :]^T), fused so the logit tile never leaves
+   VMEM when only probabilities are needed (panoptic decode path).
+
+Grids iterate over the HW (reduction) axis for pooling and over N x HW tiles for
+assembly; shapes are padded to (8, 128) multiples by the callers. Both have a
+pure-jnp fallback (`pallas_available()` false on CPU test runs uses interpret
+mode instead).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def pallas_available() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------- mask pool
+
+
+def _mask_pool_kernel(mask_ref, feat_ref, out_ref, *, hard_thr: float):
+    """Grid over HW tiles; out accumulates [N, C]."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    logits = mask_ref[:]  # [N, BLK_HW]
+    hard = (jax.nn.sigmoid(logits) > hard_thr).astype(feat_ref.dtype)
+    out_ref[:] += jnp.dot(
+        hard, feat_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hard_thr", "interpret"))
+def _fused_mask_pool_2d(
+    mask_logits: Array, feats: Array, hard_thr: float = 0.5, interpret: bool = False
+) -> Array:
+    """mask_logits: [N, HW]; feats: [HW, C] -> [N, C]."""
+    n, hw = mask_logits.shape
+    hw2, c = feats.shape
+    assert hw == hw2
+    blk_hw = 512 if hw % 512 == 0 else 128
+    n_pad = _round_up(n, 8)
+    hw_pad = _round_up(hw, blk_hw)
+    c_pad = _round_up(c, 128)
+    # pad with -inf logits (sigmoid -> 0 -> no contribution)
+    m = jnp.full((n_pad, hw_pad), -1e9, mask_logits.dtype)
+    m = m.at[:n, :hw].set(mask_logits)
+    f = jnp.zeros((hw_pad, c_pad), feats.dtype).at[:hw, :c].set(feats)
+
+    grid = (hw_pad // blk_hw,)
+    out = pl.pallas_call(
+        functools.partial(_mask_pool_kernel, hard_thr=hard_thr),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, blk_hw), lambda k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_hw, c_pad), lambda k: (k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, c_pad), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+        interpret=interpret,
+    )(m, f)
+    return out[:n, :c]
+
+
+def fused_mask_pool(
+    mask_logits: Array,
+    feats: Array,
+    *,
+    hard_thr: float = 0.5,
+    interpret: bool | None = None,
+) -> Array:
+    """Batched fused pooling. mask_logits: [B, N, H, W]; feats: [B, H, W, C]
+    -> [B, N, C]. Equivalent to ops.mask_pool.mask_pool(binary=True)."""
+    if interpret is None:
+        interpret = not pallas_available()
+    b, n, h, w = mask_logits.shape
+    c = feats.shape[-1]
+    m = mask_logits.reshape(b, n, h * w)
+    f = feats.reshape(b, h * w, c)
+    fn = functools.partial(_fused_mask_pool_2d, hard_thr=hard_thr, interpret=interpret)
+    return jax.vmap(fn)(m, f)
+
+
+# ------------------------------------------------------- assemble + sigmoid
+
+
+def _assemble_kernel(kern_ref, feat_ref, out_ref):
+    """probs tile [BLK_N, BLK_HW] = sigmoid(kern [BLK_N, C] @ feat.T [C, BLK_HW])."""
+    logits = jax.lax.dot_general(
+        kern_ref[:],
+        feat_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = jax.nn.sigmoid(logits).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_assemble_2d(kernels: Array, feats: Array, interpret: bool = False) -> Array:
+    """kernels: [N, C]; feats: [HW, C] -> sigmoid probs [N, HW]."""
+    n, c = kernels.shape
+    hw = feats.shape[0]
+    n_pad = _round_up(n, 8)
+    hw_pad = _round_up(hw, 128)
+    c_pad = _round_up(c, 128)
+    blk_hw = 1024 if hw_pad % 1024 == 0 else 128
+    k = jnp.zeros((n_pad, c_pad), kernels.dtype).at[:n, :c].set(kernels)
+    f = jnp.zeros((hw_pad, c_pad), feats.dtype).at[:hw, :c].set(feats)
+    out = pl.pallas_call(
+        _assemble_kernel,
+        grid=(hw_pad // blk_hw,),
+        in_specs=[
+            pl.BlockSpec((n_pad, c_pad), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_hw, c_pad), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, blk_hw), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, hw_pad), jnp.float32),
+        interpret=interpret,
+    )(k, f)
+    return out[:n, :hw]
+
+
+def fused_assemble_sigmoid(
+    kernels: Array, feats: Array, *, interpret: bool | None = None
+) -> Array:
+    """kernels: [B, N, C]; feats: [B, H, W, C] -> sigmoid mask probs [B, N, H, W].
+
+    Fuses the K=1 dynamic conv with the decode-side sigmoid (panoptic merge input).
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+    b, n, c = kernels.shape
+    h, w = feats.shape[1:3]
+    f = feats.reshape(b, h * w, c)
+    fn = functools.partial(_fused_assemble_2d, interpret=interpret)
+    out = jax.vmap(fn)(kernels, f)
+    return out.reshape(b, n, h, w)
