@@ -1,0 +1,110 @@
+"""Named config registry: the reference's release config surface.
+
+Each factory mirrors one of the reference's mmcv config files (cited per entry);
+`get_config(name)` accepts either our short name or the reference's config file
+stem. Field names/defaults follow the originals (SURVEY.md §2.8); static-shape
+additions (max_insts GT slots) are TPU-design extras.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+from video_knet_tpu.config import (
+    ConvKernelHeadConfig,
+    KernelUpdateHeadConfig,
+    KNetConfig,
+    VideoKNetConfig,
+    kitti_step_image_config,
+    kitti_step_video_config,
+    vipseg_video_config,
+)
+from video_knet_tpu.config_vis import VISConfig, youtube_vis_2019_config
+
+
+def knet_s3_r50_fpn_cityscapes_step() -> KNetConfig:
+    """configs/det/knet_cityscapes_step/knet_s3_r50_fpn.py — image K-Net
+    pretraining on Cityscapes-STEP (19 cls = 2 thing + 17 stuff)."""
+    return kitti_step_image_config()
+
+
+def knet_s3_swin_b_fpn_cityscapes_step() -> KNetConfig:
+    """configs/det/knet_cityscapes_step/knet_s3_swin_b_fpn.py."""
+    return dataclasses.replace(kitti_step_image_config(), backbone="swin_base")
+
+
+def knet_s3_swin_l_fpn_cityscapes_step() -> KNetConfig:
+    """configs/det/knet_cityscapes_step/knet_s3_swin_l_fpn.py."""
+    return dataclasses.replace(kitti_step_image_config(), backbone="swin_large")
+
+
+def knet_s3_r50_fpn_coco_panoptic() -> KNetConfig:
+    """configs/det/coco/knet_s3_r50_fpn_ms-3x_coco-panoptic.py (133 classes)."""
+    base = kitti_step_image_config()
+    return dataclasses.replace(
+        base,
+        num_thing_classes=80,
+        num_stuff_classes=53,
+        rpn=dataclasses.replace(
+            base.rpn, num_classes=133, num_thing_classes=80, num_stuff_classes=53
+        ),
+        head=dataclasses.replace(
+            base.head, num_classes=133, num_thing_classes=80, num_stuff_classes=53
+        ),
+    )
+
+
+def video_knet_s3_r50_kitti_step_joint_train() -> VideoKNetConfig:
+    """configs/det/video_knet_kitti_step/video_knet_s3_r50_rpn_1x_kitti_step_
+    sigmoid_stride2_mask_embed_link_ffn_joint_train.py — THE flagship VPS model."""
+    return kitti_step_video_config()
+
+
+def video_knet_s3_swin_b_kitti_step_joint_train() -> VideoKNetConfig:
+    """swin-b 'joint_update' variant of the KITTI-STEP release config."""
+    return dataclasses.replace(kitti_step_video_config(), backbone="swin_base")
+
+
+def video_knet_toy_kitti_step() -> VideoKNetConfig:
+    """Toy Video K-Net (knet/video/knet_quansi_dense_embed_fc_toy_exp.py:15,
+    README.md:114-117): per-frame kernels, NO cross-frame kernel linking; the
+    association embedding alone carries identity."""
+    return dataclasses.replace(kitti_step_video_config(), link_previous=False)
+
+
+def video_knet_s3_r50_vipseg() -> VideoKNetConfig:
+    """configs/det/video_knet_vipseg/*.py — 124 classes (58 thing / 66 stuff)."""
+    return vipseg_video_config()
+
+
+def video_knet_vis_r50_ytvis2019() -> VISConfig:
+    """configs/video_knet_vis/video_knet_vis/*.py — YT-VIS 2019 (40 classes)."""
+    return youtube_vis_2019_config()
+
+
+def video_knet_vis_swin_b_ytvis2019() -> VISConfig:
+    return dataclasses.replace(youtube_vis_2019_config(), backbone="swin_base")
+
+
+CONFIGS: dict[str, Callable] = {
+    "knet_s3_r50_fpn_cityscapes_step": knet_s3_r50_fpn_cityscapes_step,
+    "knet_s3_swin_b_fpn_cityscapes_step": knet_s3_swin_b_fpn_cityscapes_step,
+    "knet_s3_swin_l_fpn_cityscapes_step": knet_s3_swin_l_fpn_cityscapes_step,
+    "knet_s3_r50_fpn_ms-3x_coco-panoptic": knet_s3_r50_fpn_coco_panoptic,
+    "video_knet_s3_r50_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_joint_train": (
+        video_knet_s3_r50_kitti_step_joint_train
+    ),
+    "video_knet_kitti_step_r50": video_knet_s3_r50_kitti_step_joint_train,
+    "video_knet_kitti_step_swin_b": video_knet_s3_swin_b_kitti_step_joint_train,
+    "video_knet_kitti_step_toy": video_knet_toy_kitti_step,
+    "video_knet_vipseg_r50": video_knet_s3_r50_vipseg,
+    "video_knet_vis_r50_ytvis2019": video_knet_vis_r50_ytvis2019,
+    "video_knet_vis_swin_b_ytvis2019": video_knet_vis_swin_b_ytvis2019,
+}
+
+
+def get_config(name: str):
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config '{name}'; known: {sorted(CONFIGS)}")
+    return CONFIGS[name]()
