@@ -15,6 +15,7 @@ CPU-sync-heavy inference loop).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -24,20 +25,28 @@ V100_BASELINE_FPS = 10.0
 H, W = 384, 1248
 WARMUP = 3
 ITERS = 20
+USE_BF16 = os.environ.get("VKNET_BENCH_BF16", "1") == "1"
 
 
 def main():
     from video_knet_tpu.config import VideoKNetConfig
     from video_knet_tpu.models.video.knet_vps import VideoKNet
     from video_knet_tpu.models.video.inference import make_frame_step
+    from video_knet_tpu.utils.precision import cast_variables
 
     cfg = VideoKNetConfig(max_insts=8)
     model = VideoKNet(cfg, train=False)
-    img = jnp.zeros((1, H, W, 3), jnp.bfloat16).astype(jnp.float32)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img, img)
+    if USE_BF16:
+        variables = cast_variables(variables)
+        img = img.astype(jnp.bfloat16)
     n_tot = cfg.num_proposals + cfg.num_stuff_classes
     k = cfg.head.conv_kernel_size**2
-    prev_obj = jnp.zeros((1, n_tot, k, cfg.head.in_channels), jnp.float32)
+    prev_obj = jnp.zeros(
+        (1, n_tot, k, cfg.head.in_channels),
+        jnp.bfloat16 if USE_BF16 else jnp.float32,
+    )
 
     step = make_frame_step(model, variables, cfg, out_hw=(H, W))
 

@@ -276,10 +276,13 @@ def panoptic_decode(
     stuff_masks = mask_preds[n_prop:]
 
     masks = jnp.concatenate([thing_masks, stuff_masks], axis=0)
-    if out_hw is not None and masks.shape[-2:] != tuple(out_hw):
+    upsample_after = (
+        t.fast_decode and out_hw is not None and masks.shape[-2:] != tuple(out_hw)
+    )
+    if out_hw is not None and masks.shape[-2:] != tuple(out_hw) and not upsample_after:
         masks = resize_mask_bilinear(masks, tuple(out_hw))
-    probs = jax.nn.sigmoid(masks)
-    scores = jnp.concatenate([top_scores, stuff_scores], axis=0)
+    probs = jax.nn.sigmoid(masks.astype(jnp.float32))
+    scores = jnp.concatenate([top_scores, stuff_scores], axis=0).astype(jnp.float32)
     labels = jnp.concatenate([thing_labels, stuff_labels], axis=0)
 
     res = merge_joint(
@@ -288,5 +291,8 @@ def panoptic_decode(
         instance_score_thr=t.instance_score_thr,
         overlap_thr=t.overlap_thr,
     )
+    if upsample_after:
+        pan = jax.image.resize(res.panoptic_seg, tuple(out_hw), method="nearest")
+        res = res._replace(panoptic_seg=pan)
     thing_kernels = jnp.take(last.object_feats[0, :n_prop], mask_idx, axis=0)
     return PanopticPrediction(res, thing_kernels, mask_idx, rpn_out.seg_preds[0])

@@ -42,12 +42,13 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw):
         pred = vps_decode(
             out["rpn_out"], out["stage_outs"], out["track_obj_feats"], cfg, out_hw
         )
-        # semantic filter (joint_train.py:546-553): argmax over sigmoid seg logits
+        # semantic filter (joint_train.py:546-553): argmax over seg logits; the
+        # argmax is taken at feature resolution and nearest-upsampled (identical
+        # label map away from boundaries, ~19x less resize traffic)
         seg = out["rpn_out"].seg_preds[0]  # [h, w, C]
-        seg = jax.image.resize(seg, (*out_hw, seg.shape[-1]), method="linear")
-        semantic_thing = (jnp.argmax(seg, axis=-1) < cfg.num_thing_classes).astype(
-            jnp.float32
-        )
+        sem_label = jnp.argmax(seg, axis=-1).astype(jnp.int32)
+        sem_label = jax.image.resize(sem_label, tuple(out_hw), method="nearest")
+        semantic_thing = (sem_label < cfg.num_thing_classes).astype(jnp.float32)
         return dict(
             pred=pred,
             embeds=out["track_embeds"][0],  # [N_prop, D]
