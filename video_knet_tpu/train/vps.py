@@ -107,10 +107,36 @@ def make_vps_loss_fn(model: VideoKNet, cfg: VideoKNetConfig):
 
 def make_sharded_train_step(model: VideoKNet, cfg: VideoKNetConfig,
                             tx: optax.GradientTransformation, mesh: Mesh):
-    """Jitted data-parallel train step over `mesh` (state replicated, batch sharded)."""
+    """Jitted SPMD train step over `mesh`.
+
+    Parallelism scheme (SURVEY.md §2.10 / §5.7): the batch axis shards over the
+    `data` mesh axis (the reference's DDP, with XLA inserting the gradient
+    all-reduce over ICI); when the mesh has a non-trivial `model` axis, image /
+    GT spatial height additionally shards over it (spatial partitioning — XLA
+    adds the conv halo exchanges), the TPU analogue of context parallelism for
+    high-res frames. State is replicated."""
     loss_fn = make_vps_loss_fn(model, cfg)
+    spatial = "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+    def constrain(batch: VPSBatch) -> VPSBatch:
+        if not spatial:
+            return batch
+        img_s = NamedSharding(mesh, P("data", "model"))
+        mask_s = NamedSharding(mesh, P("data", None, "model"))
+        c = jax.lax.with_sharding_constraint
+        gt = batch.gt._replace(
+            masks=c(batch.gt.masks, mask_s), sem_masks=c(batch.gt.sem_masks, mask_s)
+        )
+        ref_gt = batch.ref_gt._replace(
+            masks=c(batch.ref_gt.masks, mask_s),
+            sem_masks=c(batch.ref_gt.sem_masks, mask_s),
+        )
+        return VPSBatch(
+            c(batch.img, img_s), c(batch.ref_img, img_s), gt, ref_gt
+        )
 
     def train_step(state: TrainState, batch: VPSBatch):
+        batch = constrain(batch)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (loss_dict, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, batch
