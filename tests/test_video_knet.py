@@ -107,3 +107,15 @@ def test_online_inference_pipeline(video_setup):
         assert res.track_map.shape == (64, 96)
     # state carried: prev_obj_feats updated
     assert pipe.frame_id == 3
+
+
+def test_online_inference_alternative_trackers(video_setup):
+    cfg, model, variables, img = video_setup
+    infer_model = VideoKNet(cfg, train=False)
+    for tracker_type in ("unitrack", "simple", "overlap"):
+        pipe = VPSInferencePipeline(
+            infer_model, variables, cfg, out_hw=(64, 96), tracker_type=tracker_type
+        )
+        for t in range(2):
+            res = pipe.run_frame(img, is_first=(t == 0))
+            assert res.track_map.shape == (64, 96), tracker_type

@@ -32,6 +32,8 @@ def parse_args():
     p.add_argument("--out", required=True)
     p.add_argument("--size", type=int, nargs=2, default=[384, 1248],
                    help="inference H W (static shape)")
+    p.add_argument("--tracker", default="quasi_dense",
+                   choices=["quasi_dense", "unitrack", "simple", "overlap"])
     return p.parse_args()
 
 
@@ -68,7 +70,8 @@ def main():
 
     thing_ids = ds.thing_ids_in_seg if args.dataset == "kitti_step" else None
     pipe = VPSInferencePipeline(
-        model, variables, cfg, out_hw=(h, w), thing_ids_in_orig=thing_ids
+        model, variables, cfg, out_hw=(h, w), thing_ids_in_orig=thing_ids,
+        tracker_type=args.tracker,
     )
 
     os.makedirs(args.out, exist_ok=True)

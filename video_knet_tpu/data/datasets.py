@@ -144,6 +144,29 @@ class VIPSegDVPS(_DVPSScan):
     ann_token = "panoptic"
 
 
+class SemKITTIDVPS(_DVPSScan):
+    """SemKITTI-DVPS: depth-aware panoptic sequences with class/instance GT in
+    SEPARATE single-channel PNGs (`*_gtFine_class.png` / `*_gtFine_instance.png`,
+    the reference's "divisor = 0" mode — external/semkitti_dvps.py:76-85,227).
+    19 cityscapes-style classes with 8 thing classes (11..18)."""
+
+    num_thing_classes = 8
+    num_stuff_classes = 11
+    thing_ids_in_seg = tuple(range(11, 19))
+    ann_mode = "class_instance"
+
+    def __init__(self, data_root: str, split: str = "train",
+                 ref_seq_index=None, with_depth: bool = True, seed: int = 0):
+        super().__init__(data_root, split, ref_seq_index, with_depth, seed)
+
+    @staticmethod
+    def ann_paths(img_path: str) -> tuple[str, str]:
+        return (
+            img_path.replace("leftImg8bit", "gtFine_class"),
+            img_path.replace("leftImg8bit", "gtFine_instance"),
+        )
+
+
 class CityscapesSTEPImages:
     """Cityscapes-STEP single-frame panoptic (image K-Net pretraining surface).
 

@@ -103,21 +103,49 @@ def semantic_map_from_panoptic(
 
 
 class VPSInferencePipeline:
-    """Carries per-video state; call run_frame for each frame in order."""
+    """Carries per-video state; call run_frame for each frame in order.
+
+    tracker_type selects the association strategy:
+      'quasi_dense' — the release tracker (QuasiDenseEmbedTracker);
+      'unitrack'    — the K-Net + UniTrack baseline (Kalman + appearance,
+                      knet/video/knet_uni_track.py:13);
+      'simple' / 'overlap' — the GIoU / mask-IoU greedy matchers
+                      (knet/video/tracker.py:14).
+    """
 
     def __init__(self, model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
-                 thing_ids_in_orig=KITTI_STEP_THING_IDS):
+                 thing_ids_in_orig=KITTI_STEP_THING_IDS,
+                 tracker_type: str = "quasi_dense"):
         self.cfg = cfg
         self.out_hw = out_hw
         self.step = make_frame_step(model, variables, cfg, out_hw)
         self.thing_ids_in_orig = thing_ids_in_orig
+        self.tracker_type = tracker_type
         n_tot = cfg.num_proposals + cfg.num_stuff_classes
         k = cfg.head.conv_kernel_size**2
         self._zero_obj = jnp.zeros((1, n_tot, k, cfg.head.in_channels), jnp.float32)
         self.reset()
 
+    def _make_tracker(self):
+        if self.tracker_type == "quasi_dense":
+            return QuasiDenseEmbedTracker(self.cfg.tracker)
+        if self.tracker_type == "unitrack":
+            from video_knet_tpu.models.video.unitrack import MaskAssociationTracker
+
+            return MaskAssociationTracker()
+        from video_knet_tpu.models.video.tracker_variants import (
+            OverlapTracker,
+            SimpleMaskTracker,
+        )
+
+        if self.tracker_type == "overlap":
+            return OverlapTracker()
+        if self.tracker_type == "simple":
+            return SimpleMaskTracker()
+        raise ValueError(self.tracker_type)
+
     def reset(self):
-        self.tracker = QuasiDenseEmbedTracker(self.cfg.tracker)
+        self.tracker = self._make_tracker()
         self.prev_obj_feats = self._zero_obj
         self.frame_id = 0
 
@@ -149,11 +177,20 @@ class VPSInferencePipeline:
             mask_idx = np.asarray(pred.thing_mask_idx)
             det_embeds = embeds[mask_idx[inst]]
             filt = masks * semantic_thing[None]
-            boxes = masks_to_boxes(filt)
-            bboxes5 = np.concatenate([boxes, scores[:, None]], axis=1)
-            sel, _, ids = self.tracker.match(bboxes5, labels, det_embeds, self.frame_id)
-            ids = ids + 1
-            ids[ids == -1] = 0  # suppressed (-2 + 1) -> 0
+            if self.tracker_type == "quasi_dense":
+                boxes = masks_to_boxes(filt)
+                bboxes5 = np.concatenate([boxes, scores[:, None]], axis=1)
+                sel, _, ids = self.tracker.match(
+                    bboxes5, labels, det_embeds, self.frame_id
+                )
+                ids = ids + 1
+                ids[ids == -1] = 0  # suppressed (-2 + 1) -> 0
+            elif self.tracker_type == "unitrack":
+                ids = self.tracker.step(filt.astype(bool), det_embeds, scores)
+                sel = np.arange(len(ids))
+            else:  # simple / overlap
+                ids = self.tracker.step(filt.astype(bool), scores)
+                sel = np.arange(len(ids))
             for src, tid in zip(sel, ids):
                 if tid > 0:
                     track_map[masks[src].astype(bool)] = tid
