@@ -1,0 +1,52 @@
+"""Eval hook + VIS sharded train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_data import _write_fake_kitti
+
+
+def test_evaluate_vps_on_fake_data(tmp_path):
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.data.datasets import KittiStepDVPS
+    from video_knet_tpu.models.video.inference import VPSInferencePipeline
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.train.eval_hook import evaluate_vps
+
+    _write_fake_kitti(tmp_path, n_seqs=1, n_frames=2, hw=(64, 96))
+    ds = KittiStepDVPS(str(tmp_path), split="train")
+    cfg = VideoKNetConfig(max_insts=8)
+    model = VideoKNet(cfg, train=False)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    pipe = VPSInferencePipeline(model, variables, cfg, out_hw=(64, 96))
+    metrics = evaluate_vps(pipe, ds, size_hw=(64, 96), num_classes=cfg.num_classes)
+    assert metrics["frames"] == 2
+    for k in ("PQ", "STQ", "AQ", "IoU"):
+        assert np.isfinite(metrics[k]), k
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_vis_sharded_train_step():
+    from tests.test_vis import _make_clip_gt, tiny_vis_cfg
+    from video_knet_tpu.models.vis.knet_vis import KNetVIS
+    from video_knet_tpu.parallel.mesh import make_mesh, shard_batch
+    from video_knet_tpu.train.optim import make_optimizer
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vis import make_sharded_vis_train_step
+
+    cfg = tiny_vis_cfg()
+    model = KNetVIS(cfg, train=True)
+    clip = jnp.zeros((2, 2, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip[:1])
+    tx = make_optimizer(variables["params"], steps_per_epoch=100)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(n_data=2, n_model=1)
+    step = make_sharded_vis_train_step(model, cfg, tx, mesh)
+    gt = _make_clip_gt(cfg, 2, 2, (16, 24))
+    clip, gt = shard_batch(mesh, (clip, gt))
+    with mesh:
+        state, losses = step(state, clip, gt)
+    assert np.isfinite(float(losses["total_loss"]))

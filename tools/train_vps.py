@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-insts", type=int, default=32)
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run val VPQ/STQ every N epochs (0 = off)")
+    p.add_argument("--eval-max-frames", type=int, default=None)
     return p.parse_args()
 
 
@@ -116,6 +119,31 @@ def main():
             os.path.join(args.work_dir, "ckpt"), state, step=epoch + 1
         )
         print(f"epoch {epoch + 1} done in {time.time() - t0:.1f}s")
+        if args.eval_interval and (epoch + 1) % args.eval_interval == 0:
+            from video_knet_tpu.models.video.inference import VPSInferencePipeline
+            from video_knet_tpu.train.eval_hook import evaluate_vps
+
+            try:
+                val_ds = ds_cls(args.data_root, split="val")
+                infer_model = VideoKNet(cfg, train=False)
+                pipe = VPSInferencePipeline(
+                    infer_model,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    cfg, out_hw=(h, w),
+                )
+                metrics = evaluate_vps(
+                    pipe, val_ds, size_hw=(h, w),
+                    max_frames=args.eval_max_frames,
+                    num_classes=cfg.num_classes,
+                )
+                rec = {"epoch": epoch + 1,
+                       **{k: round(float(v), 4) for k, v in metrics.items()
+                          if not hasattr(v, "shape") or v.shape == ()}}
+                print("eval:", json.dumps(rec))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({"eval": rec}) + "\n")
+            except FileNotFoundError:
+                print("eval skipped: no val split found")
 
 
 if __name__ == "__main__":
