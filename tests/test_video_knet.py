@@ -85,7 +85,7 @@ def test_link_and_embed_grads(video_setup):
         )
 
     grads = jax.jit(jax.grad(loss_fn))(variables["params"])
-    for name in ["attention_previous", "link_ffn"]:
+    for name in ["attention_previous", "link_ffn_previous"]:
         g = grads[f"mask_head_{cfg.num_stages-1}"][name]
         total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
         assert total > 0, f"no grad into {name}"
@@ -119,3 +119,21 @@ def test_online_inference_alternative_trackers(video_setup):
         for t in range(2):
             res = pipe.run_frame(img, is_first=(t == 0))
             assert res.track_map.shape == (64, 96), tracker_type
+
+
+@pytest.mark.parametrize("ptype,plink", [
+    ("update", None), ("update_obj", None),
+    ("ffn", "link_atten"), ("ffn", "update_dynamic_cov"),
+])
+def test_linking_variants_forward(ptype, plink):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        VideoKNetConfig(max_insts=4), previous_type=ptype, previous_link=plink
+    )
+    model = VideoKNet(cfg, train=False)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    key, ref, key_emb, ref_emb = model.apply(variables, img, img, mutable=False)
+    assert key.obj_feats_track is not None
+    assert np.all(np.isfinite(np.asarray(key_emb)))

@@ -166,7 +166,8 @@ class VideoKNetConfig(KNetConfig):
 
     mask_assign_stride: int = 2
     link_previous: bool = True
-    previous_type: str = "ffn"
+    previous_type: str = "ffn"  # 'ffn' | 'update' | 'update_obj'
+    previous_link: str | None = None  # None | 'link_atten' | 'update_dynamic_cov'
     ref_seq_index: Sequence[int] = (-2, -1, 1, 2)
     track: TrackHeadConfig = field(default_factory=TrackHeadConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)

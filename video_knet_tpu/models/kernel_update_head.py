@@ -52,8 +52,24 @@ def assemble_masks(kernels: Array, x: Array, kernel_size: int) -> Array:
 
 
 class KernelUpdateHead(nn.Module):
+    """One refinement stage; `with_previous` enables the cross-frame linking
+    branches of the video variant (knet/video/kernel_update_head.py:281-541):
+
+    previous_type — how the TRACKING kernels are produced from the previous
+      frame's kernels (feeds only the association embedding):
+        'ffn'        cross-attn(query=cur, kv=prev) + link FFN  (release config)
+        'update'     KernelUpdator(x_feat, prev) first, then cross-attn + FFN
+        'update_obj' KernelUpdator(cur obj_feat, prev) first, then as above
+    previous_link — how the INPUT proposal kernels are rewritten from prev
+      kernels before the normal update (ablations, :324-369):
+        None, 'link_atten' (cross-attn + FFN),
+        'update_dynamic_cov' (KernelUpdator(x_feat, prev) then cross-attn + FFN)
+    """
+
     cfg: KernelUpdateHeadConfig
     with_previous: bool = False  # video variant: cross-frame kernel-link branch
+    previous_type: str = "ffn"
+    previous_link: str | None = None
 
     @nn.compact
     def __call__(
@@ -86,6 +102,39 @@ class KernelUpdateHead(nn.Module):
             gather_mask = mask_preds
         x_feat = mask_pool(gather_mask, x, hard_thr=cfg.hard_mask_thr, binary=True)
 
+        def cross_link(cur, prev, name):
+            """cross-attn(query=cur, kv=prev) + LN + link FFN + LN on flat kernels."""
+            g_ = cur.shape[2]
+            cur_f = cur.reshape(b, n, g_ * c)
+            prev_f = prev.reshape(b, n, g_ * c)
+            att = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads, qkv_features=g_ * c,
+                name=f"attention_{name}",
+            )(cur_f, prev_f)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"attention_{name}_norm")(cur_f + att)
+            y = y.reshape(b, n, g_, c)
+            return nn.LayerNorm(epsilon=1e-5, name=f"link_ffn_{name}_norm")(
+                FFN(cfg.feedforward_channels, cfg.in_channels, name=f"link_ffn_{name}")(y)
+            )
+
+        # proposal-kernel rewrite from the previous frame (previous_link ablations)
+        if (
+            self.with_previous
+            and previous_obj_feats is not None
+            and self.previous_link is not None
+        ):
+            prev_in = previous_obj_feats
+            if self.previous_link == "update_dynamic_cov":
+                prev_in = KernelUpdator(
+                    in_channels=cfg.updator.in_channels,
+                    feat_channels=cfg.updator.feat_channels,
+                    out_channels=cfg.updator.out_channels,
+                    name="link_update_conv",
+                )(x_feat, prev_in)
+            elif self.previous_link != "link_atten":
+                raise ValueError(self.previous_link)
+            proposal_feat = cross_link(proposal_feat, prev_in, "link")
+
         obj_feat = KernelUpdator(
             in_channels=cfg.updator.in_channels,
             feat_channels=cfg.updator.feat_channels,
@@ -109,19 +158,19 @@ class KernelUpdateHead(nn.Module):
 
         obj_feat_track = None
         if self.with_previous and previous_obj_feats is not None:
-            g2 = previous_obj_feats.shape[2]
-            cur_flat = obj_feat.reshape(b, n, g2 * c)
-            prev_flat = previous_obj_feats.reshape(b, n, g2 * c)
-            link = nn.MultiHeadDotProductAttention(
-                num_heads=cfg.num_heads, qkv_features=g2 * c, name="attention_previous"
-            )(cur_flat, prev_flat)
-            link = nn.LayerNorm(epsilon=1e-5, name="attention_previous_norm")(
-                cur_flat + link
-            )
-            link = link.reshape(b, n, g2, c)
-            obj_feat_track = nn.LayerNorm(epsilon=1e-5, name="link_ffn_norm")(
-                FFN(cfg.feedforward_channels, cfg.in_channels, name="link_ffn")(link)
-            )
+            if self.previous_type == "ffn":
+                prev_track = previous_obj_feats
+            elif self.previous_type in ("update", "update_obj"):
+                seed = x_feat if self.previous_type == "update" else obj_feat[:, :, 0]
+                prev_track = KernelUpdator(
+                    in_channels=cfg.updator.in_channels,
+                    feat_channels=cfg.updator.feat_channels,
+                    out_channels=cfg.updator.out_channels,
+                    name="track_update_conv",
+                )(seed, previous_obj_feats)
+            else:
+                raise ValueError(self.previous_type)
+            obj_feat_track = cross_link(obj_feat, prev_track, "previous")
 
         cls_feat = obj_feat.sum(axis=-2)  # [B, N, C]
         mask_feat = obj_feat

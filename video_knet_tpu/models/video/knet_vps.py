@@ -90,6 +90,8 @@ class VideoKNet(nn.Module):
             KernelUpdateHead(
                 cfg.head,
                 with_previous=(cfg.link_previous and s == cfg.num_stages - 1),
+                previous_type=cfg.previous_type,
+                previous_link=cfg.previous_link,
                 name=f"mask_head_{s}",
             )
             for s in range(cfg.num_stages)
