@@ -26,4 +26,8 @@ def build_backbone(name: str, *, frozen_stages: int, norm_eval: bool, train: boo
         return SwinTransformer(
             preset=preset, frozen_stages=frozen_stages, name=module_name
         )
+    if name.startswith("mit_"):
+        from video_knet_tpu.models.mit import MixVisionTransformer
+
+        return MixVisionTransformer(preset=name.split("_", 1)[1], name=module_name)
     raise ValueError(f"unknown backbone {name}")
