@@ -82,3 +82,29 @@ def test_mask_pool_embeddings():
     masks = np.stack([_mask(0, 0, 8, 16, hw=(16, 16)), _mask(8, 0, 8, 16, hw=(16, 16))])
     emb = mask_pool_embeddings(feats, masks)
     assert emb[0, 0] == 1.0 and emb[1, 1] == 1.0
+
+
+def test_roi_track_head_and_loss():
+    import jax
+    import jax.numpy as jnp
+    from video_knet_tpu.models.video.roi_track_head import (
+        ROITrackHead,
+        masks_to_boxes_jax,
+        roi_track_loss,
+    )
+
+    masks = jnp.zeros((3, 16, 16)).at[0, 2:8, 4:10].set(1.0).at[1, 8:14, 0:6].set(1.0)
+    boxes = masks_to_boxes_jax(masks)
+    assert boxes[0].tolist() == [4.0, 2.0, 10.0, 8.0]
+    assert boxes[2].tolist() == [0.0, 0.0, 0.0, 0.0]  # empty
+
+    head = ROITrackHead(embed_channels=32, num_convs=1)
+    feats = jnp.ones((1, 8, 8, 16))
+    variables = head.init(jax.random.PRNGKey(0), feats, boxes[None] / 2.0, 1.0)
+    emb = head.apply(variables, feats, boxes[None] / 2.0, 1.0)
+    assert emb.shape == (1, 3, 32)
+
+    valid = jnp.array([[True, True, False]])
+    ids = jnp.array([[1, 2, -1]])
+    losses = roi_track_loss(emb, emb, valid, valid, ids, ids)
+    assert np.isfinite(float(losses["loss_track_roi"]))

@@ -119,3 +119,21 @@ def test_vis_decode(vis_setup):
     assert pred.masks.shape == (2, 4, 64, 96)
     assert pred.labels.shape == (4,)
     assert pred.track_ids.tolist() == [0, 1, 2, 3]
+
+
+@pytest.mark.parametrize("merge,direct,mask_init", [
+    ("attention", False, False),
+    ("attention_pos", False, True),
+    ("mean", True, False),
+])
+def test_vis_tracker_variants(merge, direct, mask_init):
+    cfg = dataclasses.replace(
+        tiny_vis_cfg(), query_merge_method=merge, direct_tracker=direct,
+        with_mask_init=mask_init,
+    )
+    model = KNetVIS(cfg, train=False)
+    clip = jnp.zeros((1, 2, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    outs = model.apply(variables, clip, mutable=False)
+    pred = vis_decode(outs, cfg)
+    assert np.all(np.isfinite(np.asarray(pred.scores)))

@@ -37,7 +37,9 @@ class VISConfig:
     tracker_num_stages: int = 3
     tracker_assign_stages: int = 2
     tracker_stage_loss_weights: tuple = (1.0, 1.0, 1.0)
-    query_merge_method: str = "mean"  # 'mean' | 'attention'
+    query_merge_method: str = "mean"  # 'mean' | 'attention' | 'attention_pos'
+    direct_tracker: bool = False  # re-seed tracker kernels from the raw init kernels
+    with_mask_init: bool = False  # fc_mask dynamic-conv mask re-initialization
     rpn: ConvKernelHeadConfig = field(
         default_factory=lambda: ConvKernelHeadConfig(
             num_classes=40,

@@ -28,6 +28,7 @@ class RPNOutputs(NamedTuple):
     mask_preds: Array  # [B, N_total, H, W] init mask logits (things [+ stuff])
     seg_preds: Array  # [B, H, W, num_classes] semantic logits
     thing_mask_preds: Array  # [B, N_prop, H, W] (pre-concat, for rpn loss)
+    init_kernels: Array  # [N_prop, C] the raw learned kernels (direct_tracker)
 
 
 class ConvKernelHead(nn.Module):
@@ -106,4 +107,5 @@ class ConvKernelHead(nn.Module):
             mask_preds=mask_preds,
             seg_preds=seg_preds,
             thing_mask_preds=thing_mask_preds,
+            init_kernels=init_kernels,
         )

@@ -118,31 +118,54 @@ class ClipKernelUpdateHead(nn.Module):
 
 
 class ClipKernelHead(nn.Module):
-    """The tracker head: query fusion + tracker_num_stages clip stages."""
+    """The tracker head: query fusion + tracker_num_stages clip stages.
+
+    query_merge_method: 'mean' | 'attention' | 'attention_pos' (learned query
+    positional embeddings added on both sides, kernel_frame_iter_head.py:156-168).
+    direct_seed=True corresponds to the reference's `direct_tracker` mode
+    (knet_vis/tracker/track.py:194-213): the clip kernels are re-seeded from the
+    raw learned init kernels instead of fusing the per-frame final kernels.
+    with_mask_init adds the fc_mask dynamic-conv mask re-initialization
+    (kernel_frame_iter_head.py:170-180).
+    """
 
     head_cfg: KernelUpdateHeadConfig
     num_stages: int = 3
     assign_stages: int = 2
     num_proposals: int = 100
     query_merge_method: str = "mean"
+    with_mask_init: bool = False
 
     @nn.compact
     def __call__(
-        self, x: Array, per_frame_kernels: Array, mask_preds: Array
+        self,
+        x: Array,
+        per_frame_kernels: Array,
+        mask_preds: Array,
+        direct_kernels: Array | None = None,
     ) -> list[ClipStageOutput]:
         """x: [B, T, H, W, C] frame features; per_frame_kernels: [B, T, N, C];
-        mask_preds: [B, T, N, Hm, Wm] per-frame final masks from the image head."""
+        mask_preds: [B, T, N, Hm, Wm] per-frame final masks from the image head;
+        direct_kernels: [N, C] raw init kernels (direct_tracker mode)."""
         c = self.head_cfg.in_channels
         b, t, n = per_frame_kernels.shape[:3]
 
-        if self.query_merge_method == "mean":
+        if direct_kernels is not None:
+            object_feats = jnp.broadcast_to(direct_kernels[None], (b, n, c))
+        elif self.query_merge_method == "mean":
             object_feats = per_frame_kernels.mean(axis=1)  # [B, N, C]
-        elif self.query_merge_method == "attention":
+        elif self.query_merge_method in ("attention", "attention_pos"):
             init_q = self.param(
                 "init_query", nn.initializers.normal(1.0), (self.num_proposals, c)
             )
             kv = per_frame_kernels.reshape(b, t * n, c)
             q = jnp.broadcast_to(init_q[None], (b, self.num_proposals, c))
+            if self.query_merge_method == "attention_pos":
+                q_pos = self.param(
+                    "query_pos", nn.initializers.normal(1.0), (self.num_proposals, c)
+                )
+                q = q + q_pos[None]
+                kv = kv + jnp.tile(q_pos, (t, 1))[None]
             fused = nn.MultiHeadDotProductAttention(
                 num_heads=8, qkv_features=c, name="query_merge_attn"
             )(q, kv)
@@ -153,6 +176,10 @@ class ClipKernelHead(nn.Module):
             )
         else:
             raise ValueError(self.query_merge_method)
+
+        if self.with_mask_init:
+            mask_kernels = nn.Dense(c, name="fc_mask_init")(object_feats)
+            mask_preds = jnp.einsum("bnc,bthwc->btnhw", mask_kernels, x)
 
         outs: list[ClipStageOutput] = []
         for stage in range(self.num_stages):

@@ -90,8 +90,12 @@ class KNetVIS(nn.Module):
             assign_stages=cfg.tracker_assign_stages,
             num_proposals=n,
             query_merge_method=cfg.query_merge_method,
+            with_mask_init=cfg.with_mask_init,
             name="tracker",
-        )(x_clip, kernels_clip, masks_clip)
+        )(
+            x_clip, kernels_clip, masks_clip,
+            direct_kernels=rpn_out.init_kernels if cfg.direct_tracker else None,
+        )
         return VISOutputs(rpn_out, frame_outs, clip_outs)
 
 
