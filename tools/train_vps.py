@@ -100,6 +100,10 @@ def main():
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     print(f"devices: {jax.device_count()} | steps/epoch: {steps_per_epoch}")
 
+    from video_knet_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+
     start_epoch = int(np.asarray(state.step)) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
@@ -107,6 +111,11 @@ def main():
             batch = shard_batch(mesh, batch)
             with mesh:
                 state, losses = step_fn(state, batch)
+            if guard.requested:
+                save_checkpoint(os.path.join(args.work_dir, "ckpt"), state,
+                                step=int(np.asarray(state.step)))
+                print("preemption checkpoint written; exiting")
+                return
             if (it + 1) % args.log_interval == 0:
                 losses = {k: float(v) for k, v in losses.items()}
                 rate = args.batch_size * (it + 1) / (time.time() - t0)
