@@ -167,6 +167,53 @@ class SemKITTIDVPS(_DVPSScan):
         )
 
 
+class VSPWDataset:
+    """VSPW video semantic segmentation (poster Table 4's VSS benchmark).
+
+    Layout: {root}/data/{video}/origin/*.jpg + {root}/data/{video}/mask/*.png,
+    with split lists {root}/{train,val,test}.txt. 124 classes, labels 1-based in
+    the PNGs (0 = void); returned semantic maps are 0-based with 255 = void.
+    """
+
+    num_classes = 124
+    ignore_label = 255
+
+    def __init__(self, data_root: str, split: str = "val"):
+        self.data_root = os.path.expanduser(data_root)
+        list_file = os.path.join(self.data_root, f"{split}.txt")
+        if os.path.exists(list_file):
+            with open(list_file) as f:
+                videos = [l.strip() for l in f if l.strip()]
+        else:
+            videos = sorted(os.listdir(os.path.join(self.data_root, "data")))
+        self.videos: list[tuple[str, list[tuple[str, str | None]]]] = []
+        for v in videos:
+            vdir = os.path.join(self.data_root, "data", v)
+            odir = os.path.join(vdir, "origin")
+            mdir = os.path.join(vdir, "mask")
+            if not os.path.isdir(odir):
+                continue
+            frames = []
+            for name in sorted(os.listdir(odir)):
+                stem = os.path.splitext(name)[0]
+                mask = os.path.join(mdir, stem + ".png")
+                frames.append(
+                    (os.path.join(odir, name), mask if os.path.exists(mask) else None)
+                )
+            self.videos.append((v, frames))
+
+    def __len__(self):
+        return len(self.videos)
+
+    @staticmethod
+    def decode_mask(arr):
+        import numpy as np
+
+        sem = arr.astype(np.int32) - 1  # 1-based -> 0-based
+        sem[arr == 0] = 255
+        return sem
+
+
 class CityscapesSTEPImages:
     """Cityscapes-STEP single-frame panoptic (image K-Net pretraining surface).
 

@@ -35,7 +35,9 @@ class ConvKernelHead(nn.Module):
     cfg: ConvKernelHeadConfig
 
     @nn.compact
-    def __call__(self, feats: list[Array]) -> RPNOutputs:
+    def __call__(self, feats: list[Array], num_frames: int | None = None) -> RPNOutputs:
+        """num_frames set -> clip inputs [B*T, ...]: the localization FPN uses the
+        3-D (temporal) positional encoding (SemanticFPNWrapper3D equivalent)."""
         cfg = self.cfg
         loc_out = SemanticFPN(
             feat_channels=cfg.fpn_feat_channels,
@@ -43,6 +45,7 @@ class ConvKernelHead(nn.Module):
             upsample_times=cfg.fpn_upsample_times,
             with_positional_encoding=cfg.fpn_positional_encoding,
             num_aux_convs=cfg.fpn_num_aux_convs,
+            num_frames=num_frames,
             name="localization_fpn",
         )(feats)
         loc_feats, semantic_feats = loc_out[0], loc_out[1]

@@ -150,3 +150,25 @@ def sine_positional_encoding(
         h, w, -1
     )
     return jnp.concatenate([pos_y, pos_x], axis=-1)  # [H, W, 2*num_feats]
+
+
+def sine_positional_encoding_3d(
+    t: int, h: int, w: int, num_feats: int = 128, temperature: int = 10000
+) -> Array:
+    """Clip-aware sine encoding -> [T, H, W, 2*num_feats]: the 2-D spatial code
+    plus a temporal sine over the full channel width, added per frame.
+
+    Equivalent to PositionEmbeddingSine3D (knet_vis/tracker/positional_encoding.py:15,
+    normalize=True): pos = cat(pos_y, pos_x) + pos_z with dim_t_z over 2*num_feats.
+    """
+    eps, scale = 1e-6, 2 * jnp.pi
+    spatial = sine_positional_encoding(h, w, num_feats, temperature)  # [H, W, 2F]
+    z = jnp.arange(1, t + 1, dtype=jnp.float32)
+    z = z / (z[-1] + eps) * scale
+    dim_z = jnp.arange(2 * num_feats, dtype=jnp.float32)
+    dim_z = temperature ** (2 * (dim_z // 2) / (2 * num_feats))
+    pos_z = z[:, None] / dim_z
+    pos_z = jnp.stack(
+        [jnp.sin(pos_z[:, 0::2]), jnp.cos(pos_z[:, 1::2])], axis=2
+    ).reshape(t, -1)
+    return spatial[None] + pos_z[:, None, None, :]

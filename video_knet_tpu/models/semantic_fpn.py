@@ -19,23 +19,40 @@ Array = jax.Array
 
 
 class SemanticFPN(nn.Module):
+    """num_frames set -> the clip-aware 3-D variant (SemanticFPNWrapper3D,
+    knet_vis/tracker/semantic_fpn_wrapper3D.py:190): inputs are [B*T, H, W, C]
+    with frames contiguous per video and the positional encoding gains a
+    temporal sine component."""
+
     feat_channels: int = 256
     out_channels: int = 256
     upsample_times: int = 2
     end_level: int = 3
     with_positional_encoding: bool = True
     num_aux_convs: int = 1
+    num_frames: int | None = None
 
     @nn.compact
     def __call__(self, feats: list[Array]) -> list[Array]:
         # feats: FPN levels at strides 4, 8, 16, 32 (NHWC). Output stride:
         # stride(end_level) / 2^upsample_times == 8 for the release configs.
+        from video_knet_tpu.models.layers import sine_positional_encoding_3d
+
         mlvl = []
         for i in range(self.end_level + 1):
             x = feats[i]
             if i == self.end_level and self.with_positional_encoding:
-                pe = sine_positional_encoding(x.shape[-3], x.shape[-2], x.shape[-1] // 2)
-                x = x + pe[None].astype(x.dtype)
+                h_, w_, c_ = x.shape[-3:]
+                if self.num_frames is not None:
+                    pe = sine_positional_encoding_3d(
+                        self.num_frames, h_, w_, c_ // 2
+                    )  # [T, H, W, C]
+                    bt = x.shape[0]
+                    pe = jnp.tile(pe, (bt // self.num_frames, 1, 1, 1))
+                    x = x + pe.astype(x.dtype)
+                else:
+                    pe = sine_positional_encoding(h_, w_, c_ // 2)
+                    x = x + pe[None].astype(x.dtype)
             if i == 0:
                 # level 0: (end_level - upsample_times) stride-2 convs
                 for j in range(self.end_level - self.upsample_times):

@@ -73,7 +73,7 @@ class KNetVIS(nn.Module):
             train=self.train,
         )(flat)
         fpn = FPN(name="neck")(feats)
-        rpn_out = ConvKernelHead(cfg.rpn, name="rpn_head")(fpn)
+        rpn_out = ConvKernelHead(cfg.rpn, name="rpn_head")(fpn, num_frames=t)
         frame_outs = KernelIterHead(
             cfg.head, num_stages=cfg.num_stages, name="roi_head"
         )(rpn_out.x_feats, rpn_out.proposal_feats, rpn_out.mask_preds)
