@@ -50,3 +50,24 @@ def test_vis_sharded_train_step():
     with mesh:
         state, losses = step(state, clip, gt)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_freeze_detector_masks_all_but_track():
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.train.optim import frozen_mask
+
+    cfg = VideoKNetConfig(max_insts=4)
+    model = VideoKNet(cfg, train=True)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    mask = frozen_mask(variables["params"], freeze_detector=True)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    trainable = ["/".join(str(k) for k in p) for p, v in flat if v]
+    assert trainable, "nothing trainable"
+    assert all(
+        ("track_embed" in t) or ("attention_previous" in t) or ("link_ffn" in t)
+        for t in trainable
+    )
+    assert any("track_embed" in t for t in trainable)
+    assert any("attention_previous" in t for t in trainable)

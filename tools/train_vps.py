@@ -42,6 +42,8 @@ def parse_args():
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run val VPQ/STQ every N epochs (0 = off)")
     p.add_argument("--eval-max-frames", type=int, default=None)
+    p.add_argument("--freeze-detector", action="store_true",
+                   help="non-joint two-phase mode: train only track/link layers")
     return p.parse_args()
 
 
@@ -82,7 +84,7 @@ def main():
     variables = model.init(jax.random.PRNGKey(args.seed), dummy, dummy)
     tx = make_optimizer(
         variables["params"], steps_per_epoch, base_lr=args.lr,
-        frozen_stages=cfg.frozen_stages,
+        frozen_stages=cfg.frozen_stages, freeze_detector=args.freeze_detector,
     )
     state = create_train_state(variables, tx)
 

@@ -12,8 +12,6 @@ import dataclasses
 from typing import Callable
 
 from video_knet_tpu.config import (
-    ConvKernelHeadConfig,
-    KernelUpdateHeadConfig,
     KNetConfig,
     VideoKNetConfig,
     kitti_step_image_config,

@@ -16,7 +16,7 @@ from flax import linen as nn
 from video_knet_tpu.config import KNetConfig
 from video_knet_tpu.models.kernel_head import ConvKernelHead, RPNOutputs
 from video_knet_tpu.models.kernel_iter_head import KernelIterHead, StageOutput, upscale_masks
-from video_knet_tpu.models.resnet import FPN, ResNet
+from video_knet_tpu.models.resnet import FPN
 import video_knet_tpu.ops.hungarian as hung
 from video_knet_tpu.ops import losses as L
 from video_knet_tpu.ops.panoptic import PanopticResult, merge_joint

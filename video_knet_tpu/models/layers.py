@@ -7,7 +7,7 @@ torch F.interpolate(mode='bilinear', align_corners=False) which jax.image.resize
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

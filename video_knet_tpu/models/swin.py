@@ -15,7 +15,6 @@ pad sizes.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

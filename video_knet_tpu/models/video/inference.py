@@ -9,9 +9,7 @@ frames: the previous frame's final kernels (device array) + tracker memo (host).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

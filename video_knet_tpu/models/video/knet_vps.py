@@ -31,12 +31,11 @@ from video_knet_tpu.models.kernel_iter_head import StageOutput, upscale_masks
 from video_knet_tpu.models.kernel_update_head import KernelUpdateHead
 from video_knet_tpu.models.knet import (
     PanopticPrediction,
-    _batched_assign,
     iter_head_losses,
     panoptic_decode,
     rpn_loss,
 )
-from video_knet_tpu.models.resnet import FPN, ResNet
+from video_knet_tpu.models.resnet import FPN
 from video_knet_tpu.ops import losses as L
 import video_knet_tpu.ops.hungarian as hung
 from video_knet_tpu.ops.targets import PanopticGT

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from video_knet_tpu.ops.sampling import roi_align
-from video_knet_tpu.ops import losses as L
 
 Array = jax.Array
 

@@ -14,7 +14,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from video_knet_tpu.models.video.tracker import masks_to_boxes
-from video_knet_tpu.ops.hungarian import hungarian  # jittable; host fallback below
 
 
 def _lsa(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -30,8 +30,8 @@ from flax import linen as nn
 
 from video_knet_tpu.config_vis import VISConfig
 from video_knet_tpu.models.kernel_head import ConvKernelHead, RPNOutputs
-from video_knet_tpu.models.kernel_iter_head import KernelIterHead, StageOutput, upscale_masks
-from video_knet_tpu.models.resnet import FPN, ResNet
+from video_knet_tpu.models.kernel_iter_head import KernelIterHead, StageOutput
+from video_knet_tpu.models.resnet import FPN
 from video_knet_tpu.models.vis.clip_head import ClipKernelHead, ClipStageOutput
 import video_knet_tpu.ops.hungarian as hung
 from video_knet_tpu.ops import losses as L

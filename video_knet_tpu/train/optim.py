@@ -44,12 +44,21 @@ def _path_str(path) -> str:
     return "/".join(getattr(k, "key", str(k)) for k in path)
 
 
-def frozen_mask(params, frozen_stages: int = 1) -> Any:
-    """True = trainable. Freezes backbone stem + layers 1..frozen_stages."""
+def frozen_mask(params, frozen_stages: int = 1, freeze_detector: bool = False) -> Any:
+    """True = trainable. Freezes backbone stem + layers 1..frozen_stages.
+
+    freeze_detector=True is the non-joint two-phase mode of
+    VideoKNetQuansiEmbedFC (knet/video/knet_quansi_dense_embed_fc.py:92-139):
+    the whole detector is frozen and only the tracking pieces train — the
+    association embedding head and the last-stage cross-frame linking layers."""
     frozen_names = ["conv1", "bn1"] + [f"layer{s}_" for s in range(1, frozen_stages + 1)]
+    track_keys = ("track_embed", "attention_previous", "link_ffn", "link_update",
+                  "track_update")
 
     def is_trainable(path, _):
         p = _path_str(path)
+        if freeze_detector:
+            return any(k in p for k in track_keys)
         if p.startswith("backbone/"):
             sub = p[len("backbone/") :]
             if any(sub.startswith(f) for f in frozen_names):
@@ -77,6 +86,7 @@ def make_optimizer(
     decay_epochs: Sequence[int] = (9, 11),
     warmup_iters: int = 1000,
     frozen_stages: int = 1,
+    freeze_detector: bool = False,
 ) -> optax.GradientTransformation:
     sched = make_lr_schedule(
         base_lr, steps_per_epoch, decay_epochs=decay_epochs, warmup_iters=warmup_iters
@@ -94,5 +104,5 @@ def make_optimizer(
         backbone_label(params),
     )
     # mask out frozen params (no updates, no weight decay, no momentum state)
-    trainable = frozen_mask(params, frozen_stages)
+    trainable = frozen_mask(params, frozen_stages, freeze_detector)
     return optax.masked(tx, trainable)

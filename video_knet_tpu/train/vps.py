@@ -9,7 +9,7 @@ all-reduce over the data axis is inserted by XLA from the shardings.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from video_knet_tpu.config import KNetConfig, VideoKNetConfig
-from video_knet_tpu.models.knet import KNet, knet_loss
 from video_knet_tpu.models.video.knet_vps import VideoKNet, video_knet_loss
 from video_knet_tpu.ops.targets import PanopticGT
 from video_knet_tpu.train.train_state import TrainState
