@@ -137,3 +137,25 @@ def test_vis_tracker_variants(merge, direct, mask_init):
     outs = model.apply(variables, clip, mutable=False)
     pred = vis_decode(outs, cfg)
     assert np.all(np.isfinite(np.asarray(pred.scores)))
+
+
+def test_volume_kernel_head():
+    from video_knet_tpu.models.resnet import FPN, ResNet
+    from video_knet_tpu.models.vis.volume_head import ClipVolumeKernelHead
+
+    cfg = tiny_vis_cfg()
+    b, t = 1, 2
+    feats = [
+        jnp.zeros((b * t, 16, 24, 256)),
+        jnp.zeros((b * t, 8, 12, 256)),
+        jnp.zeros((b * t, 4, 6, 256)),
+        jnp.zeros((b * t, 2, 3, 256)),
+    ]
+    head = ClipVolumeKernelHead(cfg.rpn)
+    variables = head.init(jax.random.PRNGKey(0), feats, t)
+    out = head.apply(variables, feats, t)
+    n = cfg.rpn.num_proposals
+    assert out.proposal_feats.shape == (b, n, 256)
+    assert out.tube_mask_preds.shape == (b, t, n, 8, 12)
+    assert out.x_feats.shape == (b, t, 8, 12, 256)
+    assert out.seg_preds.shape == (b, t, 8, 12, cfg.rpn.num_classes)

@@ -252,16 +252,44 @@ def panoptic_decode(
     cfg: KNetConfig,
     out_hw: tuple[int, int] | None = None,
 ) -> PanopticPrediction:
-    """Panoptic post-processing for one image batch of size 1-or-vmapped.
+    """Panoptic post-processing for a batch-of-1 forward (back-compat wrapper
+    around `panoptic_decode_single`; use `panoptic_decode_batch` for multi-stream
+    inference)."""
+    last = stage_outs[-1]
+    return panoptic_decode_single(
+        last.cls_score[0], last.scaled_mask_preds[0], last.object_feats[0],
+        rpn_out.seg_preds[0], cfg, out_hw,
+    )
+
+
+def panoptic_decode_batch(
+    rpn_out: RPNOutputs,
+    stage_outs: list[StageOutput],
+    cfg: KNetConfig,
+    out_hw: tuple[int, int] | None = None,
+) -> PanopticPrediction:
+    """vmapped decode over the batch axis (multi-stream online inference)."""
+    last = stage_outs[-1]
+    return jax.vmap(
+        lambda c, m, o, s: panoptic_decode_single(c, m, o, s, cfg, out_hw)
+    )(last.cls_score, last.scaled_mask_preds, last.object_feats, rpn_out.seg_preds)
+
+
+def panoptic_decode_single(
+    cls_score_logits: Array,  # [N_tot, C]
+    mask_preds: Array,  # [N_tot, Hs, Ws]
+    object_feats: Array,  # [N_tot, K*K, C]
+    seg_preds: Array,  # [h, w, C]
+    cfg: KNetConfig,
+    out_hw: tuple[int, int] | None = None,
+) -> PanopticPrediction:
+    """Panoptic post-processing for one image.
 
     kernel_iter_head.py:332-370 with merge_joint=True: topk thing (proposal,
     class) pairs + per-class stuff rows, sigmoid, rescale, joint-argmax merge.
-    Operates on a single image ([N_tot, ...] inputs); vmap for batches.
     """
     t = cfg.test
-    last = stage_outs[-1]
-    cls_score = jax.nn.sigmoid(last.cls_score[0])  # [N_tot, C]
-    mask_preds = last.scaled_mask_preds[0]  # [N_tot, Hs, Ws]
+    cls_score = jax.nn.sigmoid(cls_score_logits)  # [N_tot, C]
     n_prop = cfg.num_proposals
     nt = cfg.num_thing_classes
 
@@ -294,5 +322,5 @@ def panoptic_decode(
     if upsample_after:
         pan = jax.image.resize(res.panoptic_seg, tuple(out_hw), method="nearest")
         res = res._replace(panoptic_seg=pan)
-    thing_kernels = jnp.take(last.object_feats[0, :n_prop], mask_idx, axis=0)
-    return PanopticPrediction(res, thing_kernels, mask_idx, rpn_out.seg_preds[0])
+    thing_kernels = jnp.take(object_feats[:n_prop], mask_idx, axis=0)
+    return PanopticPrediction(res, thing_kernels, mask_idx, seg_preds)

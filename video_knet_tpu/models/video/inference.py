@@ -29,8 +29,13 @@ from video_knet_tpu.ops.panoptic import segments_to_host
 KITTI_STEP_THING_IDS = (11, 13)
 
 
-def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw):
-    """Builds the jitted per-frame device function."""
+def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
+                    batched: bool = False):
+    """Builds the jitted per-frame device function.
+
+    batched=True serves B independent video streams per step (vmapped decode,
+    per-stream embeddings/filters) — the multi-stream throughput mode for
+    offline evaluation of many sequences at once."""
 
     @jax.jit
     def step(img, prev_obj_feats, is_first):
@@ -38,18 +43,20 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw):
             variables, img, prev_obj_feats, is_first, method=VideoKNet.test_step
         )
         pred = vps_decode(
-            out["rpn_out"], out["stage_outs"], out["track_obj_feats"], cfg, out_hw
+            out["rpn_out"], out["stage_outs"], out["track_obj_feats"], cfg, out_hw,
+            batched=batched,
         )
         # semantic filter (joint_train.py:546-553): argmax over seg logits; the
         # argmax is taken at feature resolution and nearest-upsampled (identical
         # label map away from boundaries, ~19x less resize traffic)
-        seg = out["rpn_out"].seg_preds[0]  # [h, w, C]
+        seg = out["rpn_out"].seg_preds if batched else out["rpn_out"].seg_preds[0]
         sem_label = jnp.argmax(seg, axis=-1).astype(jnp.int32)
-        sem_label = jax.image.resize(sem_label, tuple(out_hw), method="nearest")
+        shape = (seg.shape[0], *out_hw) if batched else tuple(out_hw)
+        sem_label = jax.image.resize(sem_label, shape, method="nearest")
         semantic_thing = (sem_label < cfg.num_thing_classes).astype(jnp.float32)
         return dict(
             pred=pred,
-            embeds=out["track_embeds"][0],  # [N_prop, D]
+            embeds=out["track_embeds"] if batched else out["track_embeds"][0],
             semantic_thing=semantic_thing,
             new_obj_feats=out["new_obj_feats"],
         )

@@ -33,6 +33,7 @@ from video_knet_tpu.models.knet import (
     PanopticPrediction,
     iter_head_losses,
     panoptic_decode,
+    panoptic_decode_batch,
     rpn_loss,
 )
 from video_knet_tpu.models.resnet import FPN
@@ -289,10 +290,15 @@ def vps_decode(
     track_obj_feats: Array,
     cfg: VideoKNetConfig,
     out_hw: tuple[int, int],
+    batched: bool = False,
 ) -> PanopticPrediction:
-    """Panoptic decode using the *linked* kernels for the thing-track handles."""
+    """Panoptic decode using the *linked* kernels for the thing-track handles.
+
+    batched=True vmaps the decode over the batch axis (multi-stream online
+    inference: one device step serves B independent video streams)."""
     last = stage_outs[-1]
     patched = [*stage_outs[:-1], StageOutput(
         last.cls_score, last.mask_preds, last.scaled_mask_preds, track_obj_feats
     )]
-    return panoptic_decode(rpn_out, patched, cfg, out_hw=out_hw)
+    fn = panoptic_decode_batch if batched else panoptic_decode
+    return fn(rpn_out, patched, cfg, out_hw=out_hw)

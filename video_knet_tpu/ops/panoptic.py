@@ -58,6 +58,8 @@ def merge_joint(
     winner = jnp.argmax(prob, axis=0)  # [H, W]
 
     idx = jnp.arange(k, dtype=jnp.int32)
+    # claimed areas via a broadcast-compare reduction: on TPU this vectorized
+    # one-hot sum beats a bincount scatter (scatters serialize on the VPU)
     claimed = winner[None] == idx[:, None, None]
     mask_area = jnp.sum(claimed, axis=(1, 2)).astype(jnp.float32)
     orig_area = jnp.sum(masks >= 0.5, axis=(1, 2)).astype(jnp.float32)
