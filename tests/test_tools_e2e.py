@@ -62,3 +62,57 @@ def test_step_then_eval(tmp_path, monkeypatch, capsys):
     )
     printed = capsys.readouterr().out
     assert "STQ" in printed
+
+
+def _write_fake_ytvis(root, hw=(64, 96)):
+    import json
+    import numpy as np
+    from PIL import Image
+    from video_knet_tpu.data.rle import encode_mask
+
+    root.mkdir(parents=True, exist_ok=True)
+    images, annotations = [], []
+    img_id = 1
+    for v in (1, 2):
+        (root / f"v{v}").mkdir(exist_ok=True)
+        for f in range(3):
+            name = f"v{v}/{f}.png"
+            Image.fromarray(
+                np.random.RandomState(img_id).randint(0, 255, (*hw, 3), np.uint8)
+            ).save(root / name)
+            images.append({"id": img_id, "video_id": v, "frame_id": f,
+                           "height": hw[0], "width": hw[1], "file_name": name})
+            m = np.zeros(hw, np.uint8)
+            m[: hw[0] // 2] = 1
+            annotations.append({"id": img_id, "image_id": img_id, "video_id": v,
+                                "instance_id": v, "category_id": 1,
+                                "segmentation": encode_mask(m),
+                                "bbox": [0, 0, hw[1], hw[0] // 2]})
+            img_id += 1
+    data = {"images": images, "annotations": annotations,
+            "categories": [{"id": i, "name": f"c{i}"} for i in range(1, 41)],
+            "videos": [{"id": 1}, {"id": 2}]}
+    p = root / "valid.json"
+    with open(p, "w") as fh:
+        json.dump(data, fh)
+    return p
+
+
+@pytest.mark.slow
+def test_whole_video_vis_submission(tmp_path, monkeypatch):
+    import json
+
+    ann = _write_fake_ytvis(tmp_path / "yt")
+    out = tmp_path / "vis_out"
+    _run(
+        "test_whole_video",
+        ["--ann-file", str(ann), "--img-root", str(tmp_path / "yt"),
+         "--out", str(out), "--clip-len", "2", "--size", "64", "96"],
+        monkeypatch,
+    )
+    results = json.load(open(out / "results.json"))
+    assert len(results) > 0
+    assert {r["video_id"] for r in results} <= {1, 2}
+    assert os.path.exists(out / "submission_file.zip")
+    seg = next(s for r in results for s in r["segmentations"] if s is not None)
+    assert seg["size"] == [64, 96]

@@ -154,6 +154,7 @@ class SemKITTIDVPS(_DVPSScan):
     num_stuff_classes = 11
     thing_ids_in_seg = tuple(range(11, 19))
     ann_mode = "class_instance"
+    ann_token = "gtFine_class"
 
     def __init__(self, data_root: str, split: str = "train",
                  ref_seq_index=None, with_depth: bool = True, seed: int = 0):

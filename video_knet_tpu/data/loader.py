@@ -37,6 +37,14 @@ def _decode_ann(path: str, mode: str) -> tuple[np.ndarray, np.ndarray]:
     arr = load_png(path)
     if mode == "kitti_rgb":
         return decode_kitti_panoptic(arr)
+    if mode == "class_instance":
+        # SemKITTI-DVPS: class and instance in separate PNGs ("divisor = 0",
+        # external/dataset/dvps_pipelines/loading.py:126-133); `path` is the
+        # class map, the instance map sits next to it.
+        sem = arr.astype(np.int32)
+        inst_path = path.replace("gtFine_class", "gtFine_instance")
+        inst = load_png(inst_path).astype(np.int32)
+        return sem, inst
     return decode_divisor_panoptic(arr, promote_bare_semantic=True)
 
 
