@@ -89,8 +89,12 @@ def main():
     state = create_train_state(variables, tx)
 
     if args.load_from:
+        from video_knet_tpu.utils.checkpoint import image_to_video_params
+
         loaded = restore_checkpoint(args.load_from)
         params = loaded.get("params", loaded)
+        if "roi_head" in params:  # image-K-Net pretraining checkpoint
+            params = image_to_video_params(params)
         state = state._replace(params=merge_params(state.params, params))
     if args.resume_from:
         state = restore_checkpoint(args.resume_from, target=state)

@@ -114,6 +114,20 @@ def load_torch_file(path: str) -> Mapping[str, Any]:
     return obj.get("state_dict", obj)
 
 
+def image_to_video_params(image_params: dict) -> dict:
+    """Remap an image-K-Net param tree for loading into VideoKNet.
+
+    The two-phase workflow (README.md:59-80): image pretraining then --load-from
+    into the video model. The video model hosts the kernel-update heads at top
+    level (mask_head_{s}) instead of under roi_head; tracking/linking layers stay
+    randomly initialized.
+    """
+    out = {k: v for k, v in image_params.items() if k != "roi_head"}
+    for name, head in image_params.get("roi_head", {}).items():
+        out[name] = head
+    return out
+
+
 def merge_params(target: dict, imported: dict) -> dict:
     """Recursively overlay imported leaves onto a target params tree (shape-checked)."""
     out = dict(target)
