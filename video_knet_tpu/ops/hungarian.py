@@ -26,26 +26,29 @@ _INF = jnp.float32(1e9)
 
 
 def hungarian(cost: Array) -> Array:
-    """Exact min-cost assignment on a square cost matrix.
+    """Exact min-cost assignment on a rectangular cost matrix (rows <= cols).
 
-    cost: [n, n] float. Returns col_of_row: [n] int32 — the column assigned to each
-    row (a permutation). Jittable and vmappable.
+    cost: [r, c] float with r <= c. Returns col_of_row: [r] int32 — the column
+    assigned to each row (every row is matched; the matching is optimal).
+    Jittable and vmappable. The sequential depth is O(r) augmentations, so
+    callers should orient the SMALLER side as rows (e.g. GT slots, not the 100
+    proposals) — this is what makes on-TPU train-time matching cheap.
     """
-    n = cost.shape[0]
-    assert cost.shape == (n, n), "hungarian expects a square matrix (pad first)"
+    r, c = cost.shape
+    assert r <= c, "hungarian expects rows <= cols (transpose first)"
     cost = cost.astype(jnp.float32)
 
-    u = jnp.zeros((n,), jnp.float32)  # row potentials
-    v = jnp.zeros((n + 1,), jnp.float32)  # col potentials (col n is virtual)
-    p = jnp.full((n + 1,), -1, jnp.int32)  # p[j] = row matched to col j
+    u = jnp.zeros((r,), jnp.float32)  # row potentials
+    v = jnp.zeros((c + 1,), jnp.float32)  # col potentials (col c is virtual)
+    p = jnp.full((c + 1,), -1, jnp.int32)  # p[j] = row matched to col j
 
     def assign_row(i, carry):
         u, v, p = carry
-        p = p.at[n].set(i)
-        minv = jnp.full((n,), _INF, jnp.float32)
-        way = jnp.full((n,), n, jnp.int32)
-        used = jnp.zeros((n + 1,), jnp.bool_)
-        j0 = jnp.int32(n)
+        p = p.at[c].set(i)
+        minv = jnp.full((c,), _INF, jnp.float32)
+        way = jnp.full((c,), c, jnp.int32)
+        used = jnp.zeros((c + 1,), jnp.bool_)
+        j0 = jnp.int32(c)
 
         def cond(state):
             _, _, _, _, _, p, j0 = state
@@ -55,17 +58,17 @@ def hungarian(cost: Array) -> Array:
             u, v, minv, way, used, p, j0 = state
             used = used.at[j0].set(True)
             i0 = p[j0]
-            cur = cost[i0, :] - u[i0] - v[:n]
-            upd = jnp.logical_and(~used[:n], cur < minv)
+            cur = cost[i0, :] - u[i0] - v[:c]
+            upd = jnp.logical_and(~used[:c], cur < minv)
             minv = jnp.where(upd, cur, minv)
             way = jnp.where(upd, j0, way)
-            masked = jnp.where(used[:n], _INF, minv)
+            masked = jnp.where(used[:c], _INF, minv)
             j1 = jnp.argmin(masked).astype(jnp.int32)
             delta = masked[j1]
             # u[p[j]] += delta for used cols; p[j] >= 0 whenever used[j]
             u = u.at[jnp.where(used, p, 0)].add(jnp.where(used, delta, 0.0))
             v = v - jnp.where(used, delta, 0.0)
-            minv = minv - jnp.where(used[:n], 0.0, delta)
+            minv = minv - jnp.where(used[:c], 0.0, delta)
             return u, v, minv, way, used, p, j1
 
         u, v, minv, way, used, p, j0 = jax.lax.while_loop(
@@ -75,7 +78,7 @@ def hungarian(cost: Array) -> Array:
         # augment along the alternating path back to the virtual column
         def aug_cond(state):
             _, j0 = state
-            return j0 != n
+            return j0 != c
 
         def aug_body(state):
             p, j0 = state
@@ -86,37 +89,41 @@ def hungarian(cost: Array) -> Array:
         p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
         return u, v, p
 
-    u, v, p = jax.lax.fori_loop(0, n, assign_row, (u, v, p))
-    row_of_col = p[:n]
-    col_of_row = jnp.zeros((n,), jnp.int32).at[row_of_col].set(jnp.arange(n, dtype=jnp.int32))
+    u, v, p = jax.lax.fori_loop(0, r, assign_row, (u, v, p))
+    row_of_col = p[:c]  # [c] row matched to each col (-1 = unmatched)
+    col_of_row = jnp.full((r,), -1, jnp.int32)
+    cols = jnp.arange(c, dtype=jnp.int32)
+    col_of_row = col_of_row.at[jnp.where(row_of_col >= 0, row_of_col, r)].set(
+        jnp.where(row_of_col >= 0, cols, -1), mode="drop"
+    )
     return col_of_row
 
 
 def pad_and_solve(cost: Array, col_valid: Array) -> tuple[Array, Array]:
-    """Solve assignment where only `col_valid` columns are real.
+    """Solve assignment where only `col_valid` columns (GT slots) are real.
 
-    cost:      [N, M] with arbitrary values in invalid columns.
+    cost:      [N, M] prediction-x-GT costs (arbitrary values in invalid columns).
     col_valid: [M] bool. Requires M <= N (more predictions than GTs).
 
-    Returns (gt_of_pred [N] int32 with -1 for unmatched, pred_of_gt [M] int32 with -1
-    for invalid gt columns).
+    Solved as the TRANSPOSED [M, N] problem so the sequential augmentation count
+    is M (the few GT slots), not N (the 100 proposals) — ~N/M fewer serialized
+    Dijkstra rounds on TPU. Invalid GT rows get a constant cost (their arbitrary
+    matches add the same constant to every assignment, leaving the real rows'
+    optimum unchanged) and are masked out afterwards.
+
+    Returns (gt_of_pred [N] int32 with -1 for unmatched, pred_of_gt [M] int32
+    with -1 for invalid gt columns).
     """
     n_pred, m = cost.shape
     assert m <= n_pred, "expected num predictions >= max num GTs"
-    # dummy/invalid columns get constant 0 cost => matching of real columns unchanged
-    sq = jnp.zeros((n_pred, n_pred), jnp.float32)
-    sq = sq.at[:, :m].set(jnp.where(col_valid[None, :], cost.astype(jnp.float32), 0.0))
-    col_of_row = hungarian(sq)
-    matched_real = jnp.logical_and(
-        col_of_row < m, jnp.take(col_valid, jnp.minimum(col_of_row, m - 1))
-    )
-    gt_of_pred = jnp.where(matched_real, col_of_row, -1)
-    pred_of_gt = jnp.full((m,), -1, jnp.int32)
-    rows = jnp.arange(n_pred, dtype=jnp.int32)
-    pred_of_gt = pred_of_gt.at[jnp.where(matched_real, col_of_row, m)].set(
-        jnp.where(matched_real, rows, -1), mode="drop"
-    )
+    t = jnp.where(col_valid[:, None], cost.T.astype(jnp.float32), 0.0)  # [M, N]
+    pred_of_gt = hungarian(t)  # [M] every row matched
     pred_of_gt = jnp.where(col_valid, pred_of_gt, -1)
+    gt_of_pred = jnp.full((n_pred,), -1, jnp.int32)
+    gts = jnp.arange(m, dtype=jnp.int32)
+    gt_of_pred = gt_of_pred.at[jnp.where(col_valid, pred_of_gt, n_pred)].set(
+        jnp.where(col_valid, gts, -1), mode="drop"
+    )
     return gt_of_pred, pred_of_gt
 
 
