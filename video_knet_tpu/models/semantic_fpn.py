@@ -67,6 +67,15 @@ class SemanticFPN(nn.Module):
                         x = upsample2x(x)
             mlvl.append(x)
 
+        # inputs whose H/W aren't divisible by 32 give off-by-one level sizes
+        # (the reference pads to size_divisor=32 instead); align to level 0
+        target_hw = mlvl[0].shape[-3:-1]
+        from video_knet_tpu.models.layers import resize_bilinear
+
+        mlvl = [
+            m if m.shape[-3:-1] == target_hw else resize_bilinear(m, target_hw)
+            for m in mlvl
+        ]
         fused = sum(mlvl)
         out = ConvNormAct(self.out_channels, 1, norm="gn", name="conv_pred")(fused)
         outs = [out]
