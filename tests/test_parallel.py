@@ -63,3 +63,24 @@ def test_dp_matches_single_device_loss():
     np.testing.assert_allclose(
         float(total_single), float(total_sharded), rtol=2e-4
     )
+
+
+def test_vis_clip_axis_sharding():
+    """VIS train step with frames sharded over the model axis (clip parallel)."""
+    from tests.test_vis import _make_clip_gt, tiny_vis_cfg
+    from video_knet_tpu.models.vis.knet_vis import KNetVIS
+    from video_knet_tpu.train.vis import make_sharded_vis_train_step
+
+    cfg = tiny_vis_cfg()
+    model = KNetVIS(cfg, train=True)
+    clip = jnp.zeros((2, 2, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip[:1])
+    tx = make_optimizer(variables["params"], steps_per_epoch=100)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(n_data=2, n_model=2)
+    step = make_sharded_vis_train_step(model, cfg, tx, mesh)
+    gt = _make_clip_gt(cfg, 2, 2, (16, 24))
+    clip, gt = shard_batch(mesh, (clip, gt))
+    with mesh:
+        state, losses = step(state, clip, gt)
+    assert np.isfinite(float(losses["total_loss"]))

@@ -27,9 +27,23 @@ def make_vis_loss_fn(model: KNetVIS, cfg: VISConfig):
 
 def make_sharded_vis_train_step(model: KNetVIS, cfg: VISConfig,
                                 tx: optax.GradientTransformation, mesh: Mesh):
+    """Data-parallel over `data`; with a non-trivial `model` axis the clip's
+    FRAME axis additionally shards over it — the degenerate context parallelism
+    of SURVEY.md §5.7 (per-frame backbone/head work splits across devices; the
+    clip-level kernel fusion induces the cross-frame all-gather)."""
     loss_fn = make_vis_loss_fn(model, cfg)
+    clip_parallel = "model" in mesh.axis_names and mesh.shape["model"] > 1
 
     def train_step(state: TrainState, clip, gt: ClipGT):
+        if clip_parallel:
+            clip = jax.lax.with_sharding_constraint(
+                clip, NamedSharding(mesh, P("data", "model"))
+            )
+            gt = gt._replace(
+                masks=jax.lax.with_sharding_constraint(
+                    gt.masks, NamedSharding(mesh, P("data", None, "model"))
+                )
+            )
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (loss_dict, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, clip, gt
