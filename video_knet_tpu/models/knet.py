@@ -92,12 +92,87 @@ def _batched_assign(
     return jax.vmap(one_nocls)(masks, gt.masks, gt.valid)
 
 
-def rpn_loss(rpn_out: RPNOutputs, gt: PanopticGT, cfg: KNetConfig) -> dict[str, Array]:
+def branch_assignment_costs(
+    rpn_out: RPNOutputs,
+    stage_outs: list[StageOutput],
+    gt: PanopticGT,
+    cfg: KNetConfig,
+) -> list[Array]:
+    """All Hungarian cost matrices of one branch, in order [rpn, stage0..stageA-1].
+
+    Each is [B, N, G]. Solving them TOGETHER through one vmapped solver runs the
+    lockstep lanes once instead of serializing 1 + assign_stages while-loops on
+    the TPU scalar core (see solve_assignments)."""
+    n_prop = cfg.num_proposals
+    costs = []
+
+    def batched_cost(masks, cls, cls_weight):
+        masks = jax.lax.stop_gradient(masks)
+        cls = None if cls is None else jax.lax.stop_gradient(cls)
+
+        def one(m, gm, gl, c=None):
+            return hung.hungarian_cost_matrix(
+                m, gm, c, gl,
+                cls_weight=cls_weight,
+                dice_weight=cfg.assigner.dice_weight,
+                mask_weight=cfg.assigner.mask_weight,
+            )
+
+        if cls is None:
+            return jax.vmap(one)(masks, gt.masks, gt.labels)
+        return jax.vmap(lambda m, gm, gl, c: one(m, gm, gl, c))(
+            masks, gt.masks, gt.labels, cls
+        )
+
+    rpn_scaled = upscale_masks(rpn_out.thing_mask_preds, cfg.rpn.feat_downsample_stride)
+    costs.append(batched_cost(rpn_scaled, None, 0.0))
+
+    prev_masks = upscale_masks(rpn_out.mask_preds, cfg.head.mask_upsample_stride)[
+        :, :n_prop
+    ]
+    prev_cls = None
+    for s in range(min(cfg.assign_stages, len(stage_outs))):
+        cls_for_assign = (
+            prev_cls[:, :n_prop, : cfg.num_thing_classes]
+            if prev_cls is not None
+            else None
+        )
+        costs.append(
+            batched_cost(
+                prev_masks, cls_for_assign,
+                cfg.assigner.cls_weight if cls_for_assign is not None else 0.0,
+            )
+        )
+        prev_masks = stage_outs[s].scaled_mask_preds[:, :n_prop]
+        prev_cls = stage_outs[s].cls_score
+    return costs
+
+
+def solve_assignments(
+    costs: list[Array], valid: Array
+) -> tuple[list[Array], list[Array]]:
+    """Solve L cost sets [B, N, G] as ONE vmapped Hungarian over L*B lanes.
+
+    Returns (gt_of_pred list of [B, N], pred_of_gt list of [B, G])."""
+    l = len(costs)
+    b = costs[0].shape[0]
+    stacked = jnp.concatenate([c.reshape(-1, *c.shape[1:]) for c in costs], axis=0)
+    valids = jnp.tile(valid, (l, 1))
+    gt_of_pred, pred_of_gt = jax.vmap(hung.pad_and_solve)(stacked, valids)
+    return (
+        [gt_of_pred[i * b : (i + 1) * b] for i in range(l)],
+        [pred_of_gt[i * b : (i + 1) * b] for i in range(l)],
+    )
+
+
+def rpn_loss(rpn_out: RPNOutputs, gt: PanopticGT, cfg: KNetConfig,
+             gt_of_pred: Array | None = None) -> dict[str, Array]:
     """ConvKernelHead losses (kernel_head.py:337-428)."""
     c = cfg.num_classes
     r = cfg.rpn
     scaled = upscale_masks(rpn_out.thing_mask_preds, r.feat_downsample_stride)
-    gt_of_pred = _batched_assign(scaled, None, gt, cfg)
+    if gt_of_pred is None:
+        gt_of_pred = _batched_assign(scaled, None, gt, cfg)
     tgt = build_rpn_targets(
         gt_of_pred, gt, num_thing_classes=cfg.num_thing_classes, num_classes=c
     )
@@ -199,42 +274,42 @@ def iter_head_losses(
     stage_outs: list[StageOutput],
     gt: PanopticGT,
     cfg: KNetConfig,
+    assignments: list[Array] | None = None,
 ) -> tuple[dict[str, Array], Array]:
     """Per-stage assignment + losses (kernel_iter_head.py:139-231).
 
     Stage s assigns using the *previous* stage's detached scaled masks/cls
-    (the init RPN masks for s=0). Returns (losses, last-stage gt_of_pred) — the
-    final assignment is reused by the video tracking loss.
+    (the init RPN masks for s=0). `assignments` (one [B, N] per assign stage)
+    may be precomputed by solve_assignments; otherwise solved here. Returns
+    (losses, last-stage gt_of_pred) — the final assignment is reused by the
+    video tracking loss.
     """
-    n_prop = cfg.num_proposals
-    prev_masks = upscale_masks(rpn_out.mask_preds, cfg.head.mask_upsample_stride)[
-        :, :n_prop
-    ]
-    prev_cls = None
+    if assignments is None:
+        costs = branch_assignment_costs(rpn_out, stage_outs, gt, cfg)
+        assignments = solve_assignments(costs, gt.valid)[0][1:]
     losses: dict[str, Array] = {}
     gt_of_pred = None
     for s, out in enumerate(stage_outs):
         if s < cfg.assign_stages:
-            cls_for_assign = (
-                prev_cls[:, :n_prop, : cfg.num_thing_classes] if prev_cls is not None else None
-            )
-            gt_of_pred = _batched_assign(prev_masks, cls_for_assign, gt, cfg)
+            gt_of_pred = assignments[s]
         losses.update(
             {
                 k: v * cfg.stage_loss_weights[s]
                 for k, v in stage_loss(out, gt_of_pred, gt, cfg, f"s{s}").items()
             }
         )
-        prev_masks = out.scaled_mask_preds[:, :n_prop]
-        prev_cls = out.cls_score
     return losses, gt_of_pred
 
 
 def knet_loss(
     rpn_out: RPNOutputs, stage_outs: list[StageOutput], gt: PanopticGT, cfg: KNetConfig
 ) -> dict[str, Array]:
-    losses = rpn_loss(rpn_out, gt, cfg)
-    iter_losses, _ = iter_head_losses(rpn_out, stage_outs, gt, cfg)
+    costs = branch_assignment_costs(rpn_out, stage_outs, gt, cfg)
+    assigns, _ = solve_assignments(costs, gt.valid)
+    losses = rpn_loss(rpn_out, gt, cfg, gt_of_pred=assigns[0])
+    iter_losses, _ = iter_head_losses(
+        rpn_out, stage_outs, gt, cfg, assignments=assigns[1:]
+    )
     losses.update(iter_losses)
     return losses
 

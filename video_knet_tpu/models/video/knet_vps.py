@@ -227,36 +227,63 @@ def video_knet_loss(
     joint_train.py:341-468. `embeds` are (key_embeds, ref_embeds) [B, N, D]
     computed by VideoKNet.embed on (obj_feats_track, ref final obj_feats).
     """
-    key, ref = model_out
-    losses = rpn_loss(key.rpn_out, gt, cfg)
-    iter_losses, _ = iter_head_losses(key.rpn_out, key.stage_outs, gt, cfg)
-    losses.update(iter_losses)
-    ref_losses = rpn_loss(ref.rpn_out, ref_gt, cfg)
-    losses.update({f"{k}_ref_rpn": v for k, v in ref_losses.items()})
-    ref_iter, _ = iter_head_losses(ref.rpn_out, ref.stage_outs, ref_gt, cfg)
-    losses.update({f"{k}_ref": v for k, v in ref_iter.items()})
+    from video_knet_tpu.models.knet import branch_assignment_costs, solve_assignments
 
-    # tracking assignment on the *final* stage outputs (joint_train.py:406-423)
+    key, ref = model_out
     n_prop = cfg.num_proposals
     key_last, ref_last = key.stage_outs[-1], ref.stage_outs[-1]
 
-    def assign_branch(branch_last: StageOutput, branch_gt: PanopticGT) -> Array:
-        masks = branch_last.scaled_mask_preds[:, :n_prop]
-        cls = branch_last.cls_score[:, :n_prop, : cfg.num_thing_classes]
-
-        def one(m, c, gm, gv, gl):
-            cost = hung.hungarian_cost_matrix(
-                jax.lax.stop_gradient(m), gm, jax.lax.stop_gradient(c), gl,
+    def track_cost(branch_last: StageOutput, branch_gt: PanopticGT) -> Array:
+        masks = jax.lax.stop_gradient(branch_last.scaled_mask_preds[:, :n_prop])
+        cls = jax.lax.stop_gradient(
+            branch_last.cls_score[:, :n_prop, : cfg.num_thing_classes]
+        )
+        return jax.vmap(
+            lambda m, c, gm, gl: hung.hungarian_cost_matrix(
+                m, gm, c, gl,
                 cls_weight=cfg.assigner.cls_weight,
                 dice_weight=cfg.assigner.dice_weight,
                 mask_weight=cfg.assigner.mask_weight,
             )
-            return hung.pad_and_solve(cost, gv)[1]  # pred_of_gt
+        )(masks, cls, branch_gt.masks, branch_gt.labels)
 
-        return jax.vmap(one)(masks, cls, branch_gt.masks, branch_gt.valid, branch_gt.labels)
+    # ALL assignment problems of the step (key rpn+stages, ref rpn+stages, and
+    # the two tracking assigns on the final outputs, joint_train.py:406-423) are
+    # solved by ONE vmapped Hungarian — the lanes run lockstep instead of
+    # serializing ~10 while-loops on the TPU scalar core.
+    key_costs = branch_assignment_costs(key.rpn_out, key.stage_outs, gt, cfg)
+    ref_costs = branch_assignment_costs(ref.rpn_out, ref.stage_outs, ref_gt, cfg)
+    nk = len(key_costs)
+    all_costs = key_costs + [track_cost(key_last, gt)] + ref_costs + [
+        track_cost(ref_last, ref_gt)
+    ]
+    # gt.valid and ref_gt.valid can differ per lane: stack lane-wise
+    l = len(all_costs)
+    b = all_costs[0].shape[0]
+    stacked = jnp.concatenate([c for c in all_costs], axis=0)
+    valids = jnp.concatenate(
+        [gt.valid] * (nk + 1) + [ref_gt.valid] * (nk + 1), axis=0
+    )
+    g2p, p2g = jax.vmap(hung.pad_and_solve)(stacked, valids)
+    g2p = [g2p[i * b : (i + 1) * b] for i in range(l)]
+    p2g = [p2g[i * b : (i + 1) * b] for i in range(l)]
+    key_assigns, key_track_p2g = g2p[:nk], p2g[nk]
+    ref_assigns, ref_track_p2g = g2p[nk + 1 : 2 * nk + 1], p2g[2 * nk + 1]
 
-    key_pred_of_gt = assign_branch(key_last, gt)  # [B, G]
-    ref_pred_of_gt = assign_branch(ref_last, ref_gt)
+    losses = rpn_loss(key.rpn_out, gt, cfg, gt_of_pred=key_assigns[0])
+    iter_losses, _ = iter_head_losses(
+        key.rpn_out, key.stage_outs, gt, cfg, assignments=key_assigns[1:]
+    )
+    losses.update(iter_losses)
+    ref_losses = rpn_loss(ref.rpn_out, ref_gt, cfg, gt_of_pred=ref_assigns[0])
+    losses.update({f"{k}_ref_rpn": v for k, v in ref_losses.items()})
+    ref_iter, _ = iter_head_losses(
+        ref.rpn_out, ref.stage_outs, ref_gt, cfg, assignments=ref_assigns[1:]
+    )
+    losses.update({f"{k}_ref": v for k, v in ref_iter.items()})
+
+    key_pred_of_gt = key_track_p2g  # [B, G]
+    ref_pred_of_gt = ref_track_p2g
 
     key_emb, ref_emb = embeds  # [B, N, D]
 
