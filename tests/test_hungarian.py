@@ -125,3 +125,41 @@ def test_assign_end_to_end():
     gt_of_pred = np.asarray(gt_of_pred)
     assert (gt_of_pred >= 0).sum() == 3
     assert set(gt_of_pred[gt_of_pred >= 0]) == {0, 1, 2}
+
+
+def test_pad_and_solve_no_valid_gt():
+    """A frame with zero GT instances: everything unmatched, no NaNs."""
+    import jax.numpy as jnp
+    from video_knet_tpu.ops.hungarian import pad_and_solve
+
+    cost = jnp.zeros((10, 4))
+    valid = jnp.zeros((4,), bool)
+    g2p, p2g = jax.jit(pad_and_solve)(cost, valid)
+    assert (np.asarray(g2p) == -1).all()
+    assert (np.asarray(p2g) == -1).all()
+
+
+def test_empty_gt_loss_finite():
+    """knet_loss with an all-empty GT batch stays finite (background-only frame)."""
+    import jax.numpy as jnp
+    from video_knet_tpu.config import KNetConfig
+    from video_knet_tpu.models.knet import KNet, knet_loss
+    from video_knet_tpu.ops.targets import PanopticGT
+
+    cfg = KNetConfig(max_insts=4)
+    model = KNet(cfg, train=True)
+    img = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    g, s, h, w = cfg.max_insts, cfg.num_stuff_classes, 16, 24
+    gt = PanopticGT(
+        masks=jnp.zeros((1, g, h, w)),
+        labels=jnp.zeros((1, g), jnp.int32),
+        valid=jnp.zeros((1, g), bool),
+        instance_ids=jnp.full((1, g), -1, jnp.int32),
+        sem_masks=jnp.zeros((1, s, h, w)),
+        sem_valid=jnp.zeros((1, s), bool),
+    )
+    rpn_out, stage_outs = model.apply(variables, img, mutable=False)
+    losses = jax.jit(lambda r, so: knet_loss(r, so, gt, cfg))(rpn_out, stage_outs)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
