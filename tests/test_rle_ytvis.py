@@ -92,6 +92,26 @@ def test_ytvis_reader_and_tubes(tmp_path):
     assert masks[0].sum() > 0
 
 
+def test_sample_clip_modes(tmp_path):
+    p = tmp_path / "ann.json"
+    _fake_ytvis_json(p, n_frames=9)
+    ds = YouTubeVISDataset(str(p))
+    rng = np.random.RandomState(3)
+    for method in ("uniform", "bilateral_uniform"):
+        for _ in range(20):
+            idxs = ds.sample_clip(
+                0, rng, num_frames=5, frame_range=(-4, 4), method=method
+            )
+            key, refs = idxs[0], idxs[1:]
+            assert len(idxs) == 5
+            assert all(abs(r - key) <= 4 for r in refs)
+            # key never re-drawn as a ref unless used as static-shape padding
+            non_pad = [r for r in refs if r != key]
+            assert len(non_pad) == len(set(non_pad))  # no replacement
+            if method == "bilateral_uniform" and 0 < key < 8:
+                assert any(r < key for r in refs) and any(r > key for r in refs)
+
+
 def test_format_results(tmp_path):
     masks = np.zeros((2, 3, 8, 8), np.float32)
     masks[:, 0, :4, :4] = 5.0  # logit > 0

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from video_knet_tpu.data.polygon import polygons_to_mask
 from video_knet_tpu.data.rle import decode_mask, encode_mask
 
 
@@ -67,17 +68,41 @@ class YouTubeVISDataset:
         *,
         num_frames: int = 5,
         frame_range: tuple[int, int] = (-2, 2),
+        method: str = "uniform",
+        filter_key_img: bool = True,
     ) -> list[int]:
         """Sample clip frame indices: a key frame + refs within frame_range
-        (coco_video_dataset.py:105 ref_img_sampling, uniform mode)."""
+        (coco_video_dataset.py:105 ref_img_sampling).
+
+        `uniform` samples refs without replacement from the window (key frame
+        excluded when filter_key_img); `bilateral_uniform` samples half from
+        each side of the key. The reference may return fewer refs than asked
+        when the window is small — we pad with the key frame instead so the
+        clip shape stays static.
+        """
         v = self.videos[video_idx]
         n = len(v.frames)
         key = int(rng.randint(0, n))
-        lo = max(0, key + frame_range[0])
-        hi = min(n - 1, key + frame_range[1])
-        pool = [i for i in range(lo, hi + 1)]
-        idxs = [key] + [int(rng.choice(pool)) for _ in range(num_frames - 1)]
-        return idxs
+        num_refs = num_frames - 1
+        refs: list[int] = []
+        if method == "bilateral_uniform":
+            sides = (
+                range(max(0, key + frame_range[0]), key + 1),
+                range(key + 1, min(n, key + frame_range[1] + 1)),
+            )
+            for side in sides:
+                pool = [i for i in side if not (filter_key_img and i == key)]
+                take = min(num_refs // 2, len(pool))
+                refs += [int(i) for i in rng.choice(pool, take, replace=False)]
+        else:
+            lo = max(0, key + frame_range[0])
+            hi = min(n - 1, key + frame_range[1])
+            pool = [i for i in range(lo, hi + 1)
+                    if not (filter_key_img and i == key)]
+            take = min(num_refs, len(pool))
+            refs = [int(i) for i in rng.choice(pool, take, replace=False)]
+        refs += [key] * (num_refs - len(refs))  # static-shape padding
+        return [key] + sorted(refs)
 
     def clip_gt_arrays(
         self, video_idx: int, frame_idxs: list[int], *, max_insts: int,
@@ -107,10 +132,8 @@ class YouTubeVISDataset:
                     continue
                 if isinstance(seg, dict):
                     m = decode_mask(seg).astype(np.float32)
-                else:  # polygon fallback: fill via bbox (rare in converted jsons)
-                    m = np.zeros(hw, np.float32)
-                    x, y, w_, h_ = ann["bbox"]
-                    m[int(y) : int(y + h_), int(x) : int(x + w_)] = 1.0
+                else:  # COCO polygon list -> rasterize (ext/ytvos.py:266-270)
+                    m = polygons_to_mask(seg, *hw).astype(np.float32)
                 masks[inst_slots[iid], ti] = m[: hw[0], : hw[1]]
         return masks, labels, valid
 
