@@ -110,6 +110,76 @@ def build_reference_sd(num_classes=19, num_stages=3):
     return sd
 
 
+def add_joint_train_sd(sd, num_stages=3):
+    """Linking + track-embed keys of a joint-train VPS checkpoint
+    (joint_train.py:114-126, track_heads.py:600-642; link layers replicated
+    over all stages by the reference config)."""
+    c = 256
+    for s in range(num_stages):
+        pre = f"roi_head.mask_head.{s}"
+        sd[pre + ".attention_previous.attn.in_proj_weight"] = randn(3 * c, c)
+        sd[pre + ".attention_previous.attn.in_proj_bias"] = randn(3 * c)
+        sd[pre + ".attention_previous.attn.out_proj.weight"] = randn(c, c)
+        sd[pre + ".attention_previous.attn.out_proj.bias"] = randn(c)
+        _ln(sd, pre + ".attention_previous_norm", c)
+        _lin(sd, pre + ".link_ffn.layers.0.0", c, 2048)
+        _lin(sd, pre + ".link_ffn.layers.1", 2048, c)
+        _ln(sd, pre + ".link_ffn_norm", c)
+    _lin(sd, "embed_fcs.0", c, c, bias=False)
+    _ln(sd, "embed_fcs.1", c)
+    _lin(sd, "fc_embed", c, c)
+    _lin(sd, "track_head.fcs.0", c, c)
+    _lin(sd, "track_head.fcs.1", c, c)
+    _lin(sd, "track_head.fc_embed", c, c)
+
+
+def test_import_joint_train_full_and_strict():
+    """A full joint-train state_dict (detector+link+embed) imports with ZERO
+    unconsumed keys and structurally merges into VideoKNet."""
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.utils.checkpoint import merge_params
+    from video_knet_tpu.utils.torch_import import import_torch_knet
+
+    sd = build_reference_sd()
+    add_joint_train_sd(sd)
+    # buffers that real torch checkpoints carry and importers must tolerate
+    sd["backbone.bn1.num_batches_tracked"] = torch.tensor(100)
+    params, stats = import_torch_knet(sd, strict=True)  # raises if unconsumed
+    assert "track_embed" in params
+    assert "attention_previous" in params["roi_head"]["mask_head_2"]
+    assert "attention_previous" not in params["roi_head"]["mask_head_0"]
+
+    cfg = VideoKNetConfig(max_insts=4)
+    model = VideoKNet(cfg, train=False)
+    img = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    video_params = dict(params)
+    for name, head in video_params.pop("roi_head").items():
+        video_params[name] = head
+    merged = merge_params(variables["params"], video_params)
+    # track-embed weights landed and round-trip numerically
+    np.testing.assert_allclose(
+        np.asarray(merged["track_embed"]["fc_embed"]["kernel"]),
+        sd["fc_embed.weight"].numpy().T,
+    )
+    emb = model.apply(
+        {"params": merged, "batch_stats": variables["batch_stats"]},
+        jnp.ones((2, 5, 256)),
+        method=lambda m, x: m.track_embed(x),
+    )
+    assert np.all(np.isfinite(np.asarray(emb))) and emb.shape == (2, 5, 256)
+
+
+def test_import_strict_flags_unknown_keys():
+    from video_knet_tpu.utils.torch_import import import_torch_knet
+
+    sd = build_reference_sd()
+    sd["rpn_head.some_new_layer.weight"] = randn(4, 4)
+    with pytest.raises(KeyError):
+        import_torch_knet(sd, strict=True)
+
+
 def test_import_knet_structural():
     from video_knet_tpu.config import KNetConfig
     from video_knet_tpu.models.knet import KNet

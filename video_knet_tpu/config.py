@@ -137,6 +137,7 @@ class KNetConfig:
     """Image K-Net (knet/det/knet.py) — also the base of the video models."""
 
     backbone: str = "resnet50"
+    backbone_drop_path_rate: float = 0.0  # 0.3 swin-b / 0.2 swin-l configs
     frozen_stages: int = 1
     norm_eval: bool = True
     num_stages: int = 3

@@ -29,12 +29,14 @@ def knet_s3_r50_fpn_cityscapes_step() -> KNetConfig:
 
 def knet_s3_swin_b_fpn_cityscapes_step() -> KNetConfig:
     """configs/det/knet_cityscapes_step/knet_s3_swin_b_fpn.py."""
-    return dataclasses.replace(kitti_step_image_config(), backbone="swin_base")
+    return dataclasses.replace(kitti_step_image_config(), backbone="swin_base",
+                               backbone_drop_path_rate=0.3)
 
 
 def knet_s3_swin_l_fpn_cityscapes_step() -> KNetConfig:
     """configs/det/knet_cityscapes_step/knet_s3_swin_l_fpn.py."""
-    return dataclasses.replace(kitti_step_image_config(), backbone="swin_large")
+    return dataclasses.replace(kitti_step_image_config(), backbone="swin_large",
+                               backbone_drop_path_rate=0.2)
 
 
 def knet_s3_r50_fpn_coco_panoptic() -> KNetConfig:
@@ -61,7 +63,8 @@ def video_knet_s3_r50_kitti_step_joint_train() -> VideoKNetConfig:
 
 def video_knet_s3_swin_b_kitti_step_joint_train() -> VideoKNetConfig:
     """swin-b 'joint_update' variant of the KITTI-STEP release config."""
-    return dataclasses.replace(kitti_step_video_config(), backbone="swin_base")
+    return dataclasses.replace(kitti_step_video_config(), backbone="swin_base",
+                               backbone_drop_path_rate=0.3)
 
 
 def video_knet_toy_kitti_step() -> VideoKNetConfig:
@@ -82,7 +85,8 @@ def video_knet_vis_r50_ytvis2019() -> VISConfig:
 
 
 def video_knet_vis_swin_b_ytvis2019() -> VISConfig:
-    return dataclasses.replace(youtube_vis_2019_config(), backbone="swin_base")
+    return dataclasses.replace(youtube_vis_2019_config(), backbone="swin_base",
+                               backbone_drop_path_rate=0.3)
 
 
 CONFIGS: dict[str, Callable] = {

@@ -12,6 +12,7 @@ from video_knet_tpu.models.swin import SwinTransformer
 
 
 def build_backbone(name: str, *, frozen_stages: int, norm_eval: bool, train: bool,
+                   drop_path_rate: float = 0.0,
                    module_name: str = "backbone") -> nn.Module:
     if name.startswith("resnet"):
         return ResNet(
@@ -24,7 +25,11 @@ def build_backbone(name: str, *, frozen_stages: int, norm_eval: bool, train: boo
     if name.startswith("swin"):
         preset = name.split("_", 1)[1] if "_" in name else "base"
         return SwinTransformer(
-            preset=preset, frozen_stages=frozen_stages, name=module_name
+            preset=preset,
+            frozen_stages=frozen_stages,
+            drop_path_rate=drop_path_rate,
+            train=train,
+            name=module_name,
         )
     if name.startswith("mit_"):
         from video_knet_tpu.models.mit import MixVisionTransformer

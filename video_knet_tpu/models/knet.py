@@ -47,6 +47,7 @@ class KNet(nn.Module):
             frozen_stages=cfg.frozen_stages,
             norm_eval=cfg.norm_eval,
             train=self.train,
+            drop_path_rate=cfg.backbone_drop_path_rate,
         )(img)
         fpn = FPN(name="neck")(feats)
         rpn_out = ConvKernelHead(cfg.rpn, name="rpn_head")(fpn)

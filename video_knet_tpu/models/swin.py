@@ -74,6 +74,9 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None) -> Array:
@@ -99,9 +102,11 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(bw // nw, nw, h, n, n) + mask[None, :, None]
             attn = attn.reshape(bw, h, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=self.deterministic)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = jnp.moveaxis(out, 1, 2).reshape(bw, n, c)
-        return nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=self.deterministic)
 
 
 class SwinBlock(nn.Module):
@@ -110,6 +115,17 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop: float = 0.0  # dropout after attn proj and each mlp fc (:drop_rate)
+    attn_drop: float = 0.0
+    drop_path: float = 0.0  # stochastic depth, linearly scaled per block
+    deterministic: bool = True
+
+    def _drop_path(self, x: Array) -> Array:
+        """Residual-branch stochastic depth (swin_transformer.py:196-233):
+        dropout broadcast over all non-batch dims with 1/keep rescaling."""
+        return nn.Dropout(
+            self.drop_path, broadcast_dims=tuple(range(1, x.ndim))
+        )(x, deterministic=self.deterministic)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -129,19 +145,25 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         wins = window_partition(y, ws)
-        wins = WindowAttention(self.dim, self.num_heads, ws, name="attn")(wins, mask)
+        wins = WindowAttention(
+            self.dim, self.num_heads, ws,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            deterministic=self.deterministic, name="attn",
+        )(wins, mask)
         y = window_reverse(wins, ws, hp, wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w]
-        x = shortcut + y
+        x = shortcut + self._drop_path(y)
 
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         z = nn.Dense(hidden, name="mlp_fc1")(z)
         z = nn.gelu(z, approximate=False)
+        z = nn.Dropout(self.drop)(z, deterministic=self.deterministic)
         z = nn.Dense(self.dim, name="mlp_fc2")(z)
-        return x + z
+        z = nn.Dropout(self.drop)(z, deterministic=self.deterministic)
+        return x + self._drop_path(z)
 
 
 class PatchMerging(nn.Module):
@@ -169,17 +191,39 @@ class SwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = -1
     patch_norm: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0  # 0.3 swin-b / 0.2 swin-l release configs
+    ape: bool = False  # absolute position embedding (interp to feature grid)
+    ape_shape: tuple[int, int] = (56, 56)
+    train: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> list[Array]:
         embed_dim, depths, num_heads = SWIN_PRESETS[self.preset]
+        det = not self.train
         # patch embed: 4x4 non-overlapping conv
         x = nn.Conv(embed_dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        if self.ape:
+            pe = self.param(
+                "absolute_pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, *self.ape_shape, embed_dim),
+            )
+            pe = jax.image.resize(
+                pe, (1, x.shape[1], x.shape[2], embed_dim), "bilinear"
+            )
+            x = x + pe
+        x = nn.Dropout(self.drop_rate)(x, deterministic=det)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
 
+        # per-block stochastic-depth rates, linearly scaled over total depth
+        total = sum(depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        blk_idx = 0
         outs = []
         dim = embed_dim
         for stage, (depth, heads) in enumerate(zip(depths, num_heads)):
@@ -189,8 +233,13 @@ class SwinTransformer(nn.Module):
                     num_heads=heads,
                     window_size=self.window_size,
                     shift=0 if blk % 2 == 0 else self.window_size // 2,
+                    drop=self.drop_rate,
+                    attn_drop=self.attn_drop_rate,
+                    drop_path=dpr[blk_idx],
+                    deterministic=det,
                     name=f"stage{stage}_block{blk}",
                 )(x)
+                blk_idx += 1
             if stage in self.out_indices:
                 out = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage}")(x)
                 outs.append(out)

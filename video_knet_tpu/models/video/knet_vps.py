@@ -82,6 +82,7 @@ class VideoKNet(nn.Module):
             frozen_stages=cfg.frozen_stages,
             norm_eval=cfg.norm_eval,
             train=self.train,
+            drop_path_rate=cfg.backbone_drop_path_rate,
             module_name=None,
         )
         self.neck = FPN()

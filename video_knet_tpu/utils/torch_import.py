@@ -37,7 +37,30 @@ from typing import Any, Mapping
 
 import numpy as np
 
-from video_knet_tpu.utils.checkpoint import _conv, _t2j, import_torch_fpn, import_torch_resnet
+from video_knet_tpu.utils.checkpoint import (
+    TrackedStateDict,
+    _conv,
+    _t2j,
+    import_torch_fpn,
+    import_torch_resnet,
+)
+
+# Keys in reference checkpoints that carry no weights we need: BN step
+# counters, attention buffers recomputed at trace time, classification heads.
+_IGNORABLE = re.compile(
+    r"(num_batches_tracked$|relative_position_index$|attn_mask$|"
+    r"^head\.|^norm\.|rpn_head\.localization_fpn\.positional_encoding)"
+)
+
+
+def _check_consumed(sd: TrackedStateDict, strict: bool, what: str):
+    leftover = sorted(
+        k for k in sd if k not in sd.used and not _IGNORABLE.search(k)
+    )
+    if leftover and strict:
+        raise KeyError(f"{what}: {len(leftover)} unconsumed checkpoint keys, "
+                       f"e.g. {leftover[:8]}")
+    return leftover
 
 
 def _lin(w) -> np.ndarray:
@@ -100,11 +123,15 @@ def import_torch_knet(
     upsample_times: int = 2,
     num_cls_fcs: int = 1,
     num_mask_fcs: int = 1,
+    strict: bool = False,
 ) -> tuple[dict, dict]:
     """Returns (params, batch_stats) overlays for models.knet.KNet /
-    models.video.knet_vps.VideoKNet (shared names; video linking layers are
-    mapped when present in the checkpoint)."""
-    sd = dict(state_dict)
+    models.video.knet_vps.VideoKNet (shared names; video linking and
+    track-embedding layers are mapped when present in the checkpoint).
+
+    With strict=True, raises if any non-buffer checkpoint key was left
+    unconsumed — the guard that a reference VPS checkpoint fully loads."""
+    sd = TrackedStateDict(dict(state_dict))
     params: dict = {}
     bb_params, bb_stats = import_torch_resnet(sd, prefix="backbone.")
     params["backbone"] = bb_params
@@ -175,17 +202,104 @@ def import_torch_knet(
                 _ln(sd, f"{pre}.{branch}.{3 * i + 1}", (branch, f"LayerNorm_{i}"), head)
         _linear(sd, pre + ".fc_cls", ("fc_cls",), head)
         _linear(sd, pre + ".fc_mask", ("fc_mask",), head)
-        # video linking layers (present only in joint-train checkpoints)
+        # Video linking layers (joint-train checkpoints). The reference config
+        # replicates previous='placeholder' over ALL stages (joint_train config
+        # mask_head list), but only the last stage's layers are ever exercised
+        # (kernel_iter_head.py:302-309,453-456) — map the last stage, consume
+        # and discard the dead earlier-stage copies.
         if pre + ".attention_previous.attn.in_proj_weight" in sd:
+            tgt = head if s == num_stages - 1 else {}
             _mha(sd, pre + ".attention_previous.attn", ("attention_previous",),
-                 head, num_heads)
+                 tgt, num_heads)
             _ln(sd, pre + ".attention_previous_norm", ("attention_previous_norm",),
-                head)
+                tgt)
             _linear(sd, pre + ".link_ffn.layers.0.0", ("link_ffn_previous", "Dense_0"),
-                    head)
+                    tgt)
             _linear(sd, pre + ".link_ffn.layers.1", ("link_ffn_previous", "Dense_1"),
-                    head)
-            _ln(sd, pre + ".link_ffn_norm", ("link_ffn_previous_norm",), head)
+                    tgt)
+            _ln(sd, pre + ".link_ffn_norm", ("link_ffn_previous_norm",), tgt)
         roi[f"mask_head_{s}"] = head
     params["roi_head"] = roi
+
+    # Track-embedding layers of the joint-train VPS model: detector-level
+    # embed_fcs (Linear no-bias + LN) -> fc_embed (joint_train.py:114-126) and
+    # the QuasiDenseMaskEmbedHeadGTMask MLP (track_heads.py:600-642: fcs x2 +
+    # fc_embed), all folded into our models.video.knet_vps.TrackEmbed.
+    if "fc_embed.weight" in sd:
+        te: dict = {}
+        _linear(sd, "embed_fcs.0", ("embed_fc0",), te, bias=False)
+        _ln(sd, "embed_fcs.1", ("embed_ln0",), te)
+        _linear(sd, "fc_embed", ("fc_embed",), te)
+        if "track_head.fc_embed.weight" in sd:
+            _linear(sd, "track_head.fcs.0", ("track_fc0",), te)
+            _linear(sd, "track_head.fcs.1", ("track_fc1",), te)
+            _linear(sd, "track_head.fc_embed", ("track_fc_embed",), te)
+        params["track_embed"] = te
+
+    _check_consumed(sd, strict, "import_torch_knet")
     return params, stats
+
+
+def import_torch_swin(
+    state_dict: Mapping[str, Any], *, strict: bool = False
+) -> dict:
+    """Official Swin checkpoint (microsoft naming) -> params for
+    models.swin.SwinTransformer.
+
+    Plays the role of the reference's swin_converter + custom load_checkpoint
+    (/root/reference/swin/ckpt_convert.py:85, swin/swin_checkpoint.py:283),
+    consuming the official naming directly. Our PatchMerging uses the official
+    slice order (x0=even/even, x1=odd/even, x2=even/odd, x3=odd/odd), so no
+    unfold-reorder correction is needed — weights map by plain transposition.
+
+    Handles both classification checkpoints (final `norm.`/`head.` skipped;
+    per-stage out_norms stay at init) and detection checkpoints carrying
+    per-stage `norm{i}` layers, with or without a `backbone.` prefix.
+    """
+    raw = {k: v for k, v in state_dict.items()}
+    if any(k.startswith("backbone.") for k in raw):
+        raw = {k[len("backbone."):]: v for k, v in raw.items()
+               if k.startswith("backbone.")}
+    sd = TrackedStateDict(raw)
+    p: dict = {}
+    _put(p, ("patch_embed", "kernel"), _conv(sd["patch_embed.proj.weight"]))
+    _put(p, ("patch_embed", "bias"), _t2j(sd["patch_embed.proj.bias"]))
+    if "patch_embed.norm.weight" in sd:
+        _ln(sd, "patch_embed.norm", ("patch_norm",), p)
+    if "absolute_pos_embed" in sd:
+        pe = _t2j(sd["absolute_pos_embed"])  # official [1, N, C]
+        if pe.ndim == 3:
+            g = int(round(pe.shape[1] ** 0.5))
+            pe = pe.reshape(1, g, g, pe.shape[-1])
+        _put(p, ("absolute_pos_embed",), pe)
+
+    for key in list(sd):
+        m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.norm1\.weight$", key)
+        if not m:
+            continue
+        i, j = m.groups()
+        src = f"layers.{i}.blocks.{j}"
+        blk = (f"stage{i}_block{j}",)
+        _ln(sd, src + ".norm1", blk + ("norm1",), p)
+        _ln(sd, src + ".norm2", blk + ("norm2",), p)
+        _linear(sd, src + ".attn.qkv", blk + ("attn", "qkv"), p)
+        _linear(sd, src + ".attn.proj", blk + ("attn", "proj"), p)
+        _put(p, blk + ("attn", "relative_position_bias_table"),
+             _t2j(sd[src + ".attn.relative_position_bias_table"]))
+        _linear(sd, src + ".mlp.fc1", blk + ("mlp_fc1",), p)
+        _linear(sd, src + ".mlp.fc2", blk + ("mlp_fc2",), p)
+
+    for key in list(sd):
+        m = re.match(r"layers\.(\d+)\.downsample\.reduction\.weight$", key)
+        if m:
+            i = m.group(1)
+            _linear(sd, f"layers.{i}.downsample.reduction",
+                    (f"downsample{i}", "reduction"), p, bias=False)
+            _ln(sd, f"layers.{i}.downsample.norm", (f"downsample{i}", "norm"), p)
+        m = re.match(r"norm(\d+)\.weight$", key)
+        if m:  # detection-style per-stage output norms
+            i = m.group(1)
+            _ln(sd, f"norm{i}", (f"out_norm{i}",), p)
+
+    _check_consumed(sd, strict, "import_torch_swin")
+    return p
