@@ -22,10 +22,12 @@ def main():
     p.add_argument("--gt-dir", required=True)
     p.add_argument("--num-classes", type=int, default=19)
     p.add_argument("--thing-ids", type=int, nargs="+", default=[11, 13])
+    p.add_argument("--ann-mode", default="kitti_rgb",
+                   choices=["kitti_rgb", "vipseg", "divisor", "class_instance"])
     p.add_argument("--depth-thresholds", type=float, nargs="+", default=[1.25, 1.1])
     args = p.parse_args()
 
-    from video_knet_tpu.data.panoptic_png import decode_kitti_panoptic, load_png
+    from video_knet_tpu.data.panoptic_png import decode_panoptic_ann, load_png
     from video_knet_tpu.eval.stq import DSTQuality
 
     dstq = DSTQuality(
@@ -58,7 +60,7 @@ def main():
         for i, (cf, inf, gf) in enumerate(zip(cats, inss, gts)):
             sem_p = load_png(os.path.join(d, cf)).astype(np.int64)
             ins_p = load_png(os.path.join(d, inf)).astype(np.int64)
-            sem_g, ins_g = decode_kitti_panoptic(load_png(os.path.join(args.gt_dir, gf)))
+            sem_g, ins_g = decode_panoptic_ann(os.path.join(args.gt_dir, gf), args.ann_mode)
             d_true = d_pred = None
             if i < len(dgts) and i < len(dpreds):
                 d_true = load_png(os.path.join(args.gt_dir, dgts[i])).astype(np.float64) / 256.0

@@ -26,26 +26,41 @@ def parse_args():
     p.add_argument("--eval-frames", type=int, nargs="+", default=[1, 2, 3, 4])
     p.add_argument("--num-classes", type=int, default=19)
     p.add_argument("--thing-ids", type=int, nargs="+", default=[11, 13])
+    p.add_argument("--ann-mode", default="kitti_rgb",
+                   choices=["kitti_rgb", "vipseg", "divisor", "class_instance"],
+                   help="GT panoptic encoding (dataset-dependent)")
     return p.parse_args()
 
 
-def _load_seq(pred_dir: str, gt_dir: str, seq: str):
-    from video_knet_tpu.data.panoptic_png import decode_kitti_panoptic, load_png
+def _gt_files(gt_dir: str, seq: str) -> list[str]:
+    """GT panoptic files for one sequence: flat video_sequence layout
+    ({seq:06d}_*panoptic*) or per-video subdirectories (VIP-Seg panomasks)."""
+    subdirs = sorted(
+        d for d in os.listdir(gt_dir) if os.path.isdir(os.path.join(gt_dir, d))
+    )
+    if subdirs:
+        vdir = os.path.join(gt_dir, subdirs[int(seq)])
+        return [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))
+                if f.endswith(".png")]
+    return [
+        os.path.join(gt_dir, f)
+        for f in sorted(os.listdir(gt_dir))
+        if f.startswith(f"{int(seq):06d}") and "panoptic" in f
+    ]
+
+
+def _load_seq(pred_dir: str, gt_dir: str, seq: str, ann_mode: str = "kitti_rgb"):
+    from video_knet_tpu.data.panoptic_png import decode_panoptic_ann, load_png
     from video_knet_tpu.eval.vpq import MAX_INS
 
     d = os.path.join(pred_dir, seq)
     cats = sorted(f for f in os.listdir(d) if f.endswith("_cat.png"))
     inss = sorted(f for f in os.listdir(d) if f.endswith("_ins.png"))
-    gts = sorted(
-        f
-        for f in os.listdir(gt_dir)
-        if f.startswith(f"{int(seq):06d}") and "panoptic" in f
-    )
     pred_cats = [load_png(os.path.join(d, f)).astype(np.int64) for f in cats]
     pred_inss = [load_png(os.path.join(d, f)).astype(np.int64) for f in inss]
     gt_pans = []
-    for f in gts:
-        sem, inst = decode_kitti_panoptic(load_png(os.path.join(gt_dir, f)))
+    for f in _gt_files(gt_dir, seq):
+        sem, inst = decode_panoptic_ann(f, ann_mode)
         gt_pans.append(sem.astype(np.int64) * MAX_INS + inst.astype(np.int64))
     return pred_cats, pred_inss, gt_pans
 
@@ -63,7 +78,7 @@ def main():
     for k in args.eval_frames:
         total = VPQStats(num_cat=args.num_classes + 1)
         for seq in seqs:
-            pc, pi, gp = _load_seq(pred_dir, args.gt_dir, seq)
+            pc, pi, gp = _load_seq(pred_dir, args.gt_dir, seq, args.ann_mode)
             n = min(len(pc), len(gp))
             total += window_vpq(
                 pc[:n], pi[:n], gp[:n], eval_frames=k,

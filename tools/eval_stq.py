@@ -22,12 +22,14 @@ def parse_args():
     p.add_argument("--gt-dir", required=True)
     p.add_argument("--num-classes", type=int, default=19)
     p.add_argument("--thing-ids", type=int, nargs="+", default=[11, 13])
+    p.add_argument("--ann-mode", default="kitti_rgb",
+                   choices=["kitti_rgb", "vipseg", "divisor", "class_instance"])
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    from video_knet_tpu.data.panoptic_png import decode_kitti_panoptic, load_png
+    from video_knet_tpu.data.panoptic_png import decode_panoptic_ann, load_png
     from video_knet_tpu.eval.stq import STQuality
 
     stq = STQuality(
@@ -50,7 +52,7 @@ def main():
         for cf, inf, gf in zip(cats, inss, gts):
             sem_p = load_png(os.path.join(d, cf)).astype(np.int64)
             ins_p = load_png(os.path.join(d, inf)).astype(np.int64)
-            sem_g, ins_g = decode_kitti_panoptic(load_png(os.path.join(args.gt_dir, gf)))
+            sem_g, ins_g = decode_panoptic_ann(os.path.join(args.gt_dir, gf), args.ann_mode)
             y_pred = (sem_p << 16) + ins_p
             y_true = (sem_g.astype(np.int64) << 16) + ins_g.astype(np.int64)
             stq.update_state(y_true, y_pred, sequence_id=int(seq))

@@ -42,7 +42,7 @@ def main():
     from video_knet_tpu.config import kitti_step_video_config, vipseg_video_config
     from video_knet_tpu.data.datasets import KittiStepDVPS, VIPSegDVPS
     from video_knet_tpu.data.panoptic_png import encode_two_channel_vps, load_png, save_png
-    from video_knet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, bilinear_resize
+    from video_knet_tpu.data.transforms import keep_ratio_resize_pad
     from video_knet_tpu.models.video.inference import VPSInferencePipeline
     from video_knet_tpu.models.video.knet_vps import VideoKNet
     from video_knet_tpu.utils.checkpoint import merge_params, restore_checkpoint
@@ -80,8 +80,9 @@ def main():
     for sample, is_first in ds.iter_test():
         rgb = load_png(sample.img)
         ori_hw = rgb.shape[:2]
-        x = bilinear_resize(rgb, (h, w))
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        # keep-ratio resize into the static canvas (reference test pipeline:
+        # keep_ratio Resize + Pad), crop predictions back to content below
+        x, (ch, cw) = keep_ratio_resize_pad(rgb, (h, w))
         res = pipe.run_frame(jnp.asarray(x)[None], is_first=is_first)
 
         seq_dir = os.path.join(args.out, "panoptic", str(sample.seq_id))
@@ -91,8 +92,8 @@ def main():
         # resize label maps back to original resolution (nearest)
         from video_knet_tpu.data.transforms import nearest_resize
 
-        sem = nearest_resize(res.semantic_map.astype(np.int32), ori_hw)
-        trk = nearest_resize(res.track_map.astype(np.int32), ori_hw)
+        sem = nearest_resize(res.semantic_map.astype(np.int32)[:ch, :cw], ori_hw)
+        trk = nearest_resize(res.track_map.astype(np.int32)[:ch, :cw], ori_hw)
         stem = f"{sample.img_id:06d}"
         save_png(os.path.join(seq_dir, stem + "_cat.png"), sem.astype(np.uint8))
         save_png(os.path.join(seq_dir, stem + "_ins.png"),

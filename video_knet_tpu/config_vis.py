@@ -22,6 +22,7 @@ from video_knet_tpu.config import (
 @dataclass(frozen=True)
 class VISConfig:
     backbone: str = "resnet50"
+    backbone_drop_path_rate: float = 0.0  # 0.3 in the swin-b VIS config
     frozen_stages: int = 1
     norm_eval: bool = True
     num_classes: int = 40

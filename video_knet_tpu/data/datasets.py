@@ -131,17 +131,63 @@ class KittiStepDVPS(_DVPSScan):
 
 
 class VIPSegDVPS(_DVPSScan):
-    """VIP-Seg: 124 classes (58 thing / 66 stuff), divisor-1000 id PNGs.
+    """VIP-Seg: 124 classes (58 thing / 66 stuff).
 
-    external/vipseg_dvps.py:322 (ref_seq_index [-2,-1,1,2], short-side-720 resize).
+    external/vipseg_dvps.py:322 (ref_seq_index [-2,-1,1,2], short-side-720
+    resize). Supports the official layout ({root}/images/{video}/*.jpg +
+    {root}/panomasks/{video}/*.png, scanned in sorted video order like
+    vipseg_dvps.py:356-386) and falls back to the flat video_sequence layout.
+    Raw panomasks decode through the vip2hb-equivalent remap into our
+    things-first space (panoptic_png.decode_vipseg_panoptic).
     """
 
     num_thing_classes = 58
     num_stuff_classes = 66
     thing_ids_in_seg = tuple(range(58))  # things-first label space
-    ann_mode = "divisor"
+    ann_mode = "vipseg"
     img_token = "img"
     ann_token = "panoptic"
+
+    def __init__(self, data_root: str, split: str = "train",
+                 ref_seq_index: Sequence[int] | None = None,
+                 with_depth: bool = False, seed: int = 0):
+        root = os.path.expanduser(data_root)
+        img_root = os.path.join(root, "images")
+        ann_root = os.path.join(root, "panomasks")
+        if not os.path.isdir(img_root):
+            super().__init__(data_root, split, ref_seq_index, with_depth, seed)
+            return
+        self.data_root = root
+        self.ref_seq_index = list(ref_seq_index or [])
+        self.with_depth = with_depth
+        self._rng = random.Random(seed)
+        split_file = os.path.join(root, f"{split}.txt")
+        if os.path.exists(split_file):
+            with open(split_file) as f:
+                videos = [l.strip() for l in f if l.strip()]
+        else:
+            videos = sorted(os.listdir(img_root))
+        frames: dict[tuple[int, int], DVPSSample] = {}
+        for seq_id, vid in enumerate(videos):
+            vdir = os.path.join(img_root, vid)
+            adir = os.path.join(ann_root, vid)
+            imgs = sorted(f for f in os.listdir(vdir) if f.endswith(".jpg"))
+            for img_id, fn in enumerate(imgs):
+                ann = os.path.join(adir, fn.replace(".jpg", ".png"))
+                frames[(seq_id, img_id)] = DVPSSample(
+                    seq_id=seq_id, img_id=img_id,
+                    img=os.path.join(vdir, fn),
+                    ann=ann if os.path.exists(ann) else None,
+                )
+        self.frames = frames
+        self.order = sorted(frames.keys())
+        if self.ref_seq_index:
+            self.pairs = [
+                k for k in self.order
+                if any((k[0], k[1] + d) in frames for d in self.ref_seq_index)
+            ]
+        else:
+            self.pairs = list(self.order)
 
 
 class SemKITTIDVPS(_DVPSScan):

@@ -18,11 +18,7 @@ import numpy as np
 
 from video_knet_tpu.config import VideoKNetConfig
 from video_knet_tpu.data.datasets import _DVPSScan
-from video_knet_tpu.data.panoptic_png import (
-    decode_divisor_panoptic,
-    decode_kitti_panoptic,
-    load_png,
-)
+from video_knet_tpu.data.panoptic_png import decode_panoptic_ann, load_png
 from video_knet_tpu.data.transforms import (
     apply_image_transform,
     apply_mask_transform,
@@ -33,21 +29,6 @@ from video_knet_tpu.ops.targets import PanopticGT
 from video_knet_tpu.train.vps import VPSBatch
 
 
-def _decode_ann(path: str, mode: str) -> tuple[np.ndarray, np.ndarray]:
-    arr = load_png(path)
-    if mode == "kitti_rgb":
-        return decode_kitti_panoptic(arr)
-    if mode == "class_instance":
-        # SemKITTI-DVPS: class and instance in separate PNGs ("divisor = 0",
-        # external/dataset/dvps_pipelines/loading.py:126-133); `path` is the
-        # class map, the instance map sits next to it.
-        sem = arr.astype(np.int32)
-        inst_path = path.replace("gtFine_class", "gtFine_instance")
-        inst = load_png(inst_path).astype(np.int32)
-        return sem, inst
-    return decode_divisor_panoptic(arr, promote_bare_semantic=True)
-
-
 class VPSTrainLoader:
     def __init__(
         self,
@@ -56,6 +37,7 @@ class VPSTrainLoader:
         *,
         batch_size: int,
         crop_hw: tuple[int, int] = (384, 1248),
+        img_scale: tuple[int, int] | None = None,
         seed: int = 0,
         prefetch: int = 2,
         num_threads: int = 4,
@@ -64,17 +46,23 @@ class VPSTrainLoader:
         self.cfg = cfg
         self.batch_size = batch_size
         self.crop_hw = crop_hw
+        # base scale the random ratio multiplies (reference img_scale, e.g.
+        # (384, 1248) KITTI-STEP / (720, 100000) VIP-Seg short-side-720);
+        # defaults to the crop size, the release configs' choice.
+        self.img_scale = img_scale if img_scale is not None else crop_hw
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.num_threads = num_threads
 
     def _load_pair(self, idx: int, rng: np.random.RandomState):
         key, ref = self.ds.get_pair(idx)
-        p = sample_transform_params(rng)
+        p = sample_transform_params(rng, img_scale=self.img_scale)
         out = []
         for s in (key, ref):
             img = apply_image_transform(load_png(s.img), p, self.crop_hw)
-            sem, inst = _decode_ann(s.ann, getattr(self.ds, "ann_mode", "kitti_rgb"))
+            sem, inst = decode_panoptic_ann(
+                s.ann, getattr(self.ds, "ann_mode", "kitti_rgb")
+            )
             sem_t = apply_mask_transform(sem, p, self.crop_hw)
             inst_t = apply_mask_transform(inst, p, self.crop_hw, pad_value=0)
             gt = pack_panoptic_gt(

@@ -67,6 +67,11 @@ class SeqTransformParams:
     flip: bool
     crop_y: float  # in [0, 1): relative crop offsets
     crop_x: float
+    # base img_scale the ratio multiplies (mmcv Resize(img_scale, ratio_range,
+    # keep_ratio=True) semantics): the actual resize factor becomes
+    # min(max(img_scale)*r/max(in_hw), min(img_scale)*r/min(in_hw)).
+    # None keeps the raw-input-relative behavior (factor = r).
+    img_scale: tuple[int, int] | None = None
 
 
 def sample_transform_params(
@@ -74,12 +79,14 @@ def sample_transform_params(
     *,
     ratio_range: tuple[float, float] = (0.5, 2.0),
     flip_prob: float = 0.5,
+    img_scale: tuple[int, int] | None = None,
 ) -> SeqTransformParams:
     return SeqTransformParams(
         scale=float(rng.uniform(*ratio_range)),
         flip=bool(rng.rand() < flip_prob),
         crop_y=float(rng.rand()),
         crop_x=float(rng.rand()),
+        img_scale=img_scale,
     )
 
 
@@ -87,11 +94,45 @@ def _resolve_geometry(
     in_hw: tuple[int, int], crop_hw: tuple[int, int], p: SeqTransformParams
 ) -> tuple[tuple[int, int], tuple[int, int]]:
     """Returns (resized_hw, crop_offset_yx)."""
-    rh = max(1, int(round(in_hw[0] * p.scale)))
-    rw = max(1, int(round(in_hw[1] * p.scale)))
+    f = p.scale
+    if p.img_scale is not None:
+        f = min(
+            max(p.img_scale) * p.scale / max(in_hw),
+            min(p.img_scale) * p.scale / min(in_hw),
+        )
+    rh = max(1, int(round(in_hw[0] * f)))
+    rw = max(1, int(round(in_hw[1] * f)))
     off_y = int(p.crop_y * max(rh - crop_hw[0], 0) + 0.5) if rh > crop_hw[0] else 0
     off_x = int(p.crop_x * max(rw - crop_hw[1], 0) + 0.5) if rw > crop_hw[1] else 0
     return (rh, rw), (off_y, off_x)
+
+
+def keep_ratio_resize_pad(
+    img: np.ndarray,
+    target_hw: tuple[int, int],
+    *,
+    mean: np.ndarray | None = IMAGENET_MEAN,
+    std: np.ndarray | None = IMAGENET_STD,
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Test-time keep-ratio resize into a fixed canvas (the reference's
+    keep_ratio Resize + Pad, vs. aspect-distorting direct resize).
+
+    Resizes by min(th/h, tw/w), normalizes, zero-pads bottom/right to
+    target_hw (zero = mean after normalization, matching Pad-after-Normalize).
+    Returns (canvas [th, tw, C], content_hw) — crop predictions back to
+    content_hw before rescaling to the original resolution.
+    """
+    h, w = img.shape[:2]
+    th, tw = target_hw
+    f = min(th / h, tw / w)
+    ch = min(th, max(1, int(round(h * f))))
+    cw = min(tw, max(1, int(round(w * f))))
+    x = bilinear_resize(img, (ch, cw))
+    if mean is not None:
+        x = (x - mean) / std
+    out = np.zeros((th, tw) + img.shape[2:], np.float32)
+    out[:ch, :cw] = x
+    return out, (ch, cw)
 
 
 def apply_image_transform(

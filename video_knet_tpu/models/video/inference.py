@@ -84,7 +84,8 @@ def semantic_map_from_panoptic(
 
     thing_ids_in_orig given (KITTI-STEP style): thing k -> thing_ids_in_orig[k];
     stuff (1-based cat) -> its original index skipping thing slots.
-    None (cityscapes/VIP-Seg style): thing -> cat + num_stuff; stuff -> cat - 1.
+    None: the dataset space IS the repo's things-first space (VIP-Seg after the
+    vip2hb-equivalent decode): thing -> cat; stuff -> cat - 1 + num_thing.
     """
     sem = np.zeros(pan.shape, np.int32)
     for seg in segments_info:
@@ -93,7 +94,7 @@ def semantic_map_from_panoptic(
             if thing_ids_in_orig is not None:
                 sem[region] = thing_ids_in_orig[seg["category_id"]]
             else:
-                sem[region] = seg["category_id"] + num_stuff_classes
+                sem[region] = seg["category_id"]
         else:
             cat = seg["category_id"] - 1
             if thing_ids_in_orig is not None:
@@ -103,7 +104,7 @@ def semantic_map_from_panoptic(
                         offset += 1
                 sem[region] = cat + offset
             else:
-                sem[region] = cat
+                sem[region] = cat + num_thing_classes
     return sem
 
 

@@ -13,13 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_knet_tpu.data.datasets import _DVPSScan
-from video_knet_tpu.data.panoptic_png import decode_kitti_panoptic, load_png
-from video_knet_tpu.data.transforms import (
-    IMAGENET_MEAN,
-    IMAGENET_STD,
-    bilinear_resize,
-    nearest_resize,
-)
+from video_knet_tpu.data.panoptic_png import decode_panoptic_ann, load_png
+from video_knet_tpu.data.transforms import keep_ratio_resize_pad, nearest_resize
 from video_knet_tpu.eval.stq import STQuality
 from video_knet_tpu.eval.vpq import MAX_INS, VPQStats, vpq_from_stats, vpq_stats
 
@@ -45,17 +40,23 @@ def evaluate_vps(
     for t in dataset.thing_ids_in_seg:
         things[t] = True
 
+    ann_mode = getattr(dataset, "ann_mode", "kitti_rgb")
     n = 0
     for sample, is_first in dataset.iter_test():
         if sample.ann is None:
             continue
         rgb = load_png(sample.img)
         ori_hw = rgb.shape[:2]
-        x = (bilinear_resize(rgb, size_hw) - IMAGENET_MEAN) / IMAGENET_STD
+        # keep-ratio resize + pad (the reference's test pipeline), then crop
+        # predictions back to the content region before rescaling
+        x, content_hw = keep_ratio_resize_pad(rgb, size_hw)
         res = pipeline.run_frame(jnp.asarray(x)[None], is_first=is_first)
-        sem = nearest_resize(res.semantic_map.astype(np.int64), ori_hw)
-        trk = nearest_resize(res.track_map.astype(np.int64), ori_hw)
-        gt_sem, gt_inst = decode_kitti_panoptic(load_png(sample.ann))
+        ch, cw = content_hw
+        sem = nearest_resize(
+            res.semantic_map.astype(np.int64)[:ch, :cw], ori_hw)
+        trk = nearest_resize(
+            res.track_map.astype(np.int64)[:ch, :cw], ori_hw)
+        gt_sem, gt_inst = decode_panoptic_ann(sample.ann, ann_mode)
         pred_pan = sem * MAX_INS + trk
         gt_pan = gt_sem.astype(np.int64) * MAX_INS + gt_inst.astype(np.int64)
         stats += vpq_stats(pred_pan, gt_pan, num_cat=num_classes + 1)
