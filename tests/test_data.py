@@ -127,3 +127,46 @@ def test_loader_end_to_end(tmp_path):
     assert batch.gt.masks.shape == (2, 4, 32, 48)
     assert batch.gt.sem_masks.shape == (2, 17, 32, 48)
     assert bool(batch.gt.valid[:, 0].all())
+
+
+def _batches(loader):
+    return [
+        (np.asarray(b.img), np.asarray(b.ref_img), np.asarray(b.gt.masks))
+        for b in loader
+    ]
+
+
+def test_loader_thread_count_deterministic(tmp_path):
+    """4 decode threads must produce bit-identical batches to 1 thread."""
+    _write_fake_kitti(tmp_path, n_seqs=2, n_frames=4)
+    cfg = VideoKNetConfig(max_insts=4)
+    ds = KittiStepDVPS(str(tmp_path), split="train", ref_seq_index=[-1, 1])
+    mk = lambda nt: VPSTrainLoader(
+        ds, cfg, batch_size=2, crop_hw=(64, 96), seed=7, num_threads=nt,
+        process_index=0, process_count=1,
+    )
+    a, b = _batches(mk(1)), _batches(mk(4))
+    assert len(a) == len(b) > 1
+    for (i1, r1, m1), (i2, r2, m2) in zip(a, b):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(m1, m2)
+
+
+def test_loader_rank_sharding(tmp_path):
+    """Two ranks partition the single-process batch stream (strided, disjoint)
+    — the reference DistributedSampler semantics (external/train.py:41-50)."""
+    _write_fake_kitti(tmp_path, n_seqs=2, n_frames=4)
+    cfg = VideoKNetConfig(max_insts=4)
+    ds = KittiStepDVPS(str(tmp_path), split="train", ref_seq_index=[-1, 1])
+    mk = lambda r, w: VPSTrainLoader(
+        ds, cfg, batch_size=2, crop_hw=(64, 96), seed=7,
+        process_index=r, process_count=w,
+    )
+    full = _batches(mk(0, 1))
+    r0, r1 = _batches(mk(0, 2)), _batches(mk(1, 2))
+    assert len(r0) + len(r1) == len(full)
+    for k, (i, _, _) in enumerate(r0):
+        np.testing.assert_array_equal(i, full[2 * k][0])
+    for k, (i, _, _) in enumerate(r1):
+        np.testing.assert_array_equal(i, full[2 * k + 1][0])

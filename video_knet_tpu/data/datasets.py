@@ -88,8 +88,12 @@ class _DVPSScan:
     def __len__(self) -> int:
         return len(self.pairs)
 
-    def get_pair(self, idx: int) -> tuple[DVPSSample, DVPSSample]:
-        """Key frame + one randomly-offset existing reference frame."""
+    def get_pair(self, idx: int, rng=None) -> tuple[DVPSSample, DVPSSample]:
+        """Key frame + one randomly-offset existing reference frame.
+
+        Pass a per-sample numpy RandomState to make the draw independent of
+        call order (required for the multi-threaded loader's determinism);
+        falls back to the dataset-level RNG."""
         key = self.frames[self.pairs[idx]]
         if not self.ref_seq_index:
             return key, key
@@ -98,7 +102,7 @@ class _DVPSScan:
             for d in self.ref_seq_index
             if (key.seq_id, key.img_id + d) in self.frames
         ]
-        d = self._rng.choice(choices)
+        d = int(rng.choice(choices)) if rng is not None else self._rng.choice(choices)
         return key, self.frames[(key.seq_id, key.img_id + d)]
 
     def iter_test(self):

@@ -1,16 +1,26 @@
 """Async host-side train loader: decode -> transform -> pack -> device batch.
 
-Replaces the reference's torch DataLoader with worker subprocesses
-(external/train.py:41-50): here a thread pool overlaps PNG decode + numpy
-transforms with TPU compute (decode releases the GIL inside PIL/zlib, and the
-optional C++ codec in video_knet_tpu/native decodes fully off-thread). Batches
-have ONE static shape: images [B, H, W, 3] at crop size, GT in fixed slots.
+Replaces the reference's torch DataLoader with worker subprocesses + the
+rank-sharding DistributedSampler (external/train.py:41-50,107-109): a
+ThreadPoolExecutor of `num_threads` decode workers loads sample pairs in
+parallel (PNG decode releases the GIL inside PIL/zlib, and the optional C++
+codec in video_knet_tpu/native decodes fully off-thread) while the consumer
+runs the TPU step; a bounded window keeps `prefetch` batches in flight.
+
+Determinism & multi-host: the epoch permutation and every per-sample
+augmentation seed are drawn up front from the loader seed, so batches are
+bit-identical for any thread count; each process takes the strided slice
+`batches[process_index::process_count]` of the SAME global batch sequence, so
+multi-host training feeds disjoint data per host (the reference's
+DistributedSampler semantics). Batches have ONE static shape: images
+[B, H, W, 3] at crop size, GT in fixed slots.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import jax.numpy as jnp
@@ -41,6 +51,8 @@ class VPSTrainLoader:
         seed: int = 0,
         prefetch: int = 2,
         num_threads: int = 4,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.ds = dataset
         self.cfg = cfg
@@ -52,10 +64,17 @@ class VPSTrainLoader:
         self.img_scale = img_scale if img_scale is not None else crop_hw
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
-        self.num_threads = num_threads
+        self.num_threads = max(1, num_threads)
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
 
     def _load_pair(self, idx: int, rng: np.random.RandomState):
-        key, ref = self.ds.get_pair(idx)
+        key, ref = self.ds.get_pair(idx, rng)
         p = sample_transform_params(rng, img_scale=self.img_scale)
         out = []
         for s in (key, ref):
@@ -76,10 +95,8 @@ class VPSTrainLoader:
             out.append((img, gt))
         return out
 
-    def _make_batch(self, idxs: list[int], seeds: list[int]) -> VPSBatch:
-        pairs = [
-            self._load_pair(i, np.random.RandomState(s)) for i, s in zip(idxs, seeds)
-        ]
+    @staticmethod
+    def _assemble(pairs) -> VPSBatch:
         def stack_gt(gts: list[PanopticGT]) -> PanopticGT:
             return PanopticGT(*[jnp.asarray(np.stack(x)) for x in zip(*gts)])
 
@@ -89,17 +106,50 @@ class VPSTrainLoader:
         ref_gt = stack_gt([p[1][1] for p in pairs])
         return VPSBatch(imgs, ref_imgs, gt, ref_gt)
 
+    def _make_batch(self, idxs: list[int], seeds: list[int]) -> VPSBatch:
+        return self._assemble(
+            [self._load_pair(i, np.random.RandomState(s))
+             for i, s in zip(idxs, seeds)]
+        )
+
     def __iter__(self) -> Iterator[VPSBatch]:
+        # epoch permutation + ALL augmentation seeds drawn up front: batches
+        # are reproducible regardless of thread count or host sharding
         order = self.rng.permutation(len(self.ds))
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        seeds = self.rng.randint(0, 2**31, size=len(order))
         n_batches = len(order) // self.batch_size
+        my_batches = list(range(self.process_index, n_batches, self.process_count))
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        bsz = self.batch_size
 
         def producer():
-            for b in range(n_batches):
-                idxs = order[b * self.batch_size : (b + 1) * self.batch_size].tolist()
-                seeds = [int(self.rng.randint(0, 2**31)) for _ in idxs]
-                q.put(self._make_batch(idxs, seeds))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    pending: list = []
+                    it = iter(my_batches)
+
+                    def submit(b: int):
+                        sl = slice(b * bsz, (b + 1) * bsz)
+                        pending.append([
+                            pool.submit(self._load_pair, int(i),
+                                        np.random.RandomState(int(s)))
+                            for i, s in zip(order[sl], seeds[sl])
+                        ])
+
+                    for _ in range(self.prefetch + 1):
+                        b = next(it, None)
+                        if b is None:
+                            break
+                        submit(b)
+                    while pending:
+                        futs = pending.pop(0)
+                        q.put(self._assemble([f.result() for f in futs]))
+                        b = next(it, None)
+                        if b is not None:
+                            submit(b)
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -107,4 +157,6 @@ class VPSTrainLoader:
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
