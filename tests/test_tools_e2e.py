@@ -64,6 +64,26 @@ def test_step_then_eval(tmp_path, monkeypatch, capsys):
     assert "STQ" in printed
 
 
+@pytest.mark.slow
+def test_image_eval_cli(tmp_path, monkeypatch, capsys):
+    """tools/test_image.py: per-class PQ/SQ/RQ over a panoptic val split
+    (the reference's tools/test.py + kitti_step_dvps.py:190-318 evaluate)."""
+    _write_fake_kitti(tmp_path / "data", n_seqs=1, n_frames=2, hw=(64, 96))
+    os.rename(
+        tmp_path / "data" / "video_sequence" / "train",
+        tmp_path / "data" / "video_sequence" / "val",
+    )
+    _run(
+        "test_image",
+        ["--data-root", str(tmp_path / "data"), "--split", "val",
+         "--size", "64", "96", "--max-insts", "4"],
+        monkeypatch,
+    )
+    printed = capsys.readouterr().out
+    assert "person" in printed and "ALL" in printed  # per-class table
+    assert '"PQ"' in printed and '"SQ"' in printed and '"RQ"' in printed
+
+
 def _write_fake_ytvis(root, hw=(64, 96)):
     import json
     import numpy as np

@@ -12,6 +12,10 @@ Usage:
 
 from __future__ import annotations
 
+# allow `python tools/<tool>.py` from anywhere (repo root on sys.path)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 from concurrent.futures import ProcessPoolExecutor

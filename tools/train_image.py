@@ -14,6 +14,10 @@ Usage:
 
 from __future__ import annotations
 
+# allow `python tools/<tool>.py` from anywhere (repo root on sys.path)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json
@@ -43,7 +47,50 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-insts", type=int, default=32)
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="evaluate PQ on the val split every N epochs (0 = off)")
+    p.add_argument("--eval-size", type=int, nargs=2, default=None)
+    p.add_argument("--eval-max-images", type=int, default=None)
     return p.parse_args()
+
+
+def _run_eval(args, cfg, variables):
+    """Per-class PQ/SQ/RQ on the val split (the reference's --no-validate
+    counterpart: EvalHook -> in-dataset evaluate, kitti_step_dvps.py:190-318)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_knet_tpu.data.datasets import CityscapesSTEPImages, KittiStepDVPS
+    from video_knet_tpu.models.knet import KNet, panoptic_decode
+    from video_knet_tpu.ops.panoptic import segments_to_host
+    from video_knet_tpu.train.eval_hook import evaluate_image_panoptic
+
+    if args.dataset == "kitti_step":
+        ds = KittiStepDVPS(args.data_root, split="val")
+        samples = [ds.frames[k] for k in ds.order]
+    else:
+        ds = CityscapesSTEPImages(args.data_root, split="val")
+        samples = ds.samples
+    h, w = args.eval_size or args.crop
+    model = KNet(cfg, train=False)
+
+    @jax.jit
+    def forward(img):
+        rpn_out, stage_outs = model.apply(variables, img, mutable=False)
+        return panoptic_decode(rpn_out, stage_outs, cfg, out_hw=(h, w))
+
+    res = evaluate_image_panoptic(
+        lambda img: segments_to_host(forward(img).result, cfg.num_thing_classes),
+        samples,
+        size_hw=(h, w),
+        thing_ids_in_seg=ds.thing_ids_in_seg,
+        num_classes=cfg.num_classes,
+        ann_mode=getattr(ds, "ann_mode", "kitti_rgb"),
+        max_images=args.eval_max_images,
+        class_names=KittiStepDVPS.CLASSES,
+    )
+    print(res.pop("table", ""))
+    return {k: float(v) for k, v in res.items() if not hasattr(v, "shape")}
 
 
 def _iter_samples(args, cfg, rng):
@@ -188,6 +235,14 @@ def main():
                 ))
         save_checkpoint(os.path.join(args.work_dir, "ckpt"), state, step=epoch + 1)
         print(f"epoch {epoch + 1} done in {time.time() - t0:.1f}s")
+        if (args.eval_interval and args.dataset != "coco"
+                and (epoch + 1) % args.eval_interval == 0):
+            metrics = _run_eval(
+                args, cfg,
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            print(json.dumps({"epoch": epoch + 1, "eval": {
+                k: round(v, 2) for k, v in metrics.items()}}))
 
 
 if __name__ == "__main__":

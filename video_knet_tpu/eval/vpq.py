@@ -127,6 +127,8 @@ def vpq_from_stats(
         "SQ": float(sq.mean() * 100),
         "RQ": float(rq.mean() * 100),
         "PQ_per_class": pq * 100,
+        "SQ_per_class": sq * 100,
+        "RQ_per_class": rq * 100,
     }
     if things_index is not None:
         out["PQ_th"] = float(pq[things_index].mean() * 100)
