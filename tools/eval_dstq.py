@@ -48,9 +48,10 @@ def main():
         d = os.path.join(pred_dir, seq)
         cats = sorted(f for f in os.listdir(d) if f.endswith("_cat.png"))
         inss = sorted(f for f in os.listdir(d) if f.endswith("_ins.png"))
+        ann_token = "gtFine_class" if args.ann_mode == "class_instance" else "panoptic"
         gts = sorted(
             f for f in os.listdir(args.gt_dir)
-            if f.startswith(f"{int(seq):06d}") and "panoptic" in f
+            if f.startswith(f"{int(seq):06d}") and ann_token in f
         )
         dgts = sorted(
             f for f in os.listdir(args.gt_dir)

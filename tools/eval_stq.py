@@ -48,10 +48,11 @@ def main():
         d = os.path.join(pred_dir, seq)
         cats = sorted(f for f in os.listdir(d) if f.endswith("_cat.png"))
         inss = sorted(f for f in os.listdir(d) if f.endswith("_ins.png"))
+        ann_token = "gtFine_class" if args.ann_mode == "class_instance" else "panoptic"
         gts = sorted(
             f
             for f in os.listdir(args.gt_dir)
-            if f.startswith(f"{int(seq):06d}") and "panoptic" in f
+            if f.startswith(f"{int(seq):06d}") and ann_token in f
         )
         for cf, inf, gf in zip(cats, inss, gts):
             sem_p = load_png(os.path.join(d, cf)).astype(np.int64)

@@ -190,6 +190,25 @@ def kitti_step_video_config() -> VideoKNetConfig:
     return VideoKNetConfig()
 
 
+def semkitti_video_config() -> VideoKNetConfig:
+    """SemKITTI-DVPS: 19 classes, 8 things (ids 11..18), depth-aware GT
+    (external/semkitti_dvps.py; class/instance in separate PNGs)."""
+    return dataclasses.replace(
+        VideoKNetConfig(),
+        num_thing_classes=8,
+        num_stuff_classes=11,
+        rpn=ConvKernelHeadConfig(
+            num_classes=19, num_thing_classes=8, num_stuff_classes=11,
+            feat_downsample_stride=4, seg_use_sigmoid=False,
+            loss_rank_weight=0.1,
+        ),
+        head=KernelUpdateHeadConfig(
+            num_classes=19, num_thing_classes=8, num_stuff_classes=11,
+            mask_upsample_stride=4,
+        ),
+    )
+
+
 def vipseg_video_config() -> VideoKNetConfig:
     return dataclasses.replace(
         VideoKNetConfig(),
