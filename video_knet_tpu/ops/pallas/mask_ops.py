@@ -18,10 +18,17 @@ assembly; shapes are padded to (8, 128) multiples by the callers. Both have a
 pure-jnp fallback (`pallas_available()` false on CPU test runs uses interpret
 mode instead).
 
-Measured on TPU v5e at the K-Net release shape (117 kernels, 48x156x256 feats):
-correctness matches XLA to 3e-5; XLA's own fusion of the einsum chain is within
-~15% of these kernels, so the jnp path stays the default in the models and these
-serve as the fusion points for future multi-op chains (update+attention+assembly).
+Measured on the real TPU v5e chip (scripts/bench_pallas.py, 2026-08-16, bf16,
+K-Net release shape 117 kernels x 48x156x256 feats):
+  - correctness matches XLA to 3e-4 (compiled, tests/test_pallas_ops.py TPU-gated)
+  - inside the full jitted VPS frame step, routing mask_pool through
+    `fused_mask_pool` (VKNET_PALLAS=1 / ops.mask_pool.set_pallas_enabled) is a
+    1.04x step-time win (5.33 -> 5.13 ms @ 384x1248) at +18 s compile time
+  - standalone (one vmapped pallas_call per host dispatch) the kernels lose
+    badly to a single fused XLA einsum — never call these outside a jit graph
+Below the 10%-win bar, so the jnp path stays the DEFAULT; the flag keeps the
+measured 4% available and these remain the fusion points for future multi-op
+chains (update gates + attention + assembly).
 """
 
 from __future__ import annotations
@@ -59,7 +66,9 @@ def _mask_pool_kernel(mask_ref, feat_ref, out_ref, *, hard_thr: float):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    logits = mask_ref[:]  # [N, BLK_HW]
+    # threshold in f32 regardless of input dtype (bf16 scalar/vector mixing
+    # trips the Mosaic verifier, and f32 matches the jnp reference exactly)
+    logits = mask_ref[:].astype(jnp.float32)  # [N, BLK_HW]
     hard = (jax.nn.sigmoid(logits) > hard_thr).astype(feat_ref.dtype)
     out_ref[:] += jnp.dot(
         hard, feat_ref[:], preferred_element_type=jnp.float32
