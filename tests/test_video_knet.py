@@ -137,3 +137,50 @@ def test_linking_variants_forward(ptype, plink):
     key, ref, key_emb, ref_emb = model.apply(variables, img, img, mutable=False)
     assert key.obj_feats_track is not None
     assert np.all(np.isfinite(np.asarray(key_emb)))
+
+
+@pytest.mark.parametrize("track_type", ["query_fuse", "roi_gt_box"])
+def test_ablation_detectors_train_and_infer(track_type):
+    """FuseTrack (QueryTrackHead match CE) and ROIGTBox (RoIAlign@GT-box embeds)
+    ablation detectors: loss + grads + a test_step forward
+    (knet/video/knet_track_head.py:12, knet_quansi_dense_roi_gt_box_joint_train.py:17)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        VideoKNetConfig(max_insts=4), track_head_type=track_type
+    )
+    model = VideoKNet(cfg, train=True)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    gt = _make_gt(cfg, 1, (32, 48), 0, 0)
+    ref_gt = _make_gt(cfg, 1, (32, 48), 1, 0)
+    gt_args = (gt.masks, ref_gt.masks) if track_type == "roi_gt_box" else ()
+    variables = model.init(jax.random.PRNGKey(0), img, img, *gt_args)
+
+    def loss_fn(params):
+        key, ref, key_emb, ref_emb = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            img, img, *gt_args,
+        )
+        losses = video_knet_loss((key, ref), (key_emb, ref_emb), gt, ref_gt, cfg)
+        return sum(losses.values()), losses
+
+    (total, losses), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"])
+    if track_type == "query_fuse":
+        assert "loss_match" in losses and "loss_track" not in losses
+        embed_key = "track_embed"
+    else:
+        assert "loss_track_roi" in losses and "loss_track" not in losses
+        embed_key = "roi_track_head"
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    g = grads[embed_key]
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert gsum > 0, f"no grad into {embed_key}"
+
+    # online inference path compiles and runs
+    infer = VideoKNet(cfg, train=False)
+    pipe = VPSInferencePipeline(infer, variables, cfg, out_hw=(64, 96))
+    res = pipe.run_frame(img, is_first=True)
+    assert res.track_map.shape == (64, 96)

@@ -88,7 +88,7 @@ class ConvKernelHeadConfig:
 class TrackHeadConfig:
     """QuasiDenseMaskEmbedHeadGTMask as configured (num_convs=0 -> pure MLP)."""
 
-    num_fcs: int = 2
+    num_fcs: int = 2  # 1 in the swin-l "short_track_fc" config
     in_channels: int = 256
     fc_out_channels: int = 256
     embed_channels: int = 256
@@ -96,6 +96,10 @@ class TrackHeadConfig:
     loss_track_aux_weight: float = 1.0
     aux_neg_pos_ub: int = 3
     aux_neg_margin: float = 0.1
+    # QueryTrackHead (knet/video/track_heads.py:16, the FuseTrack ablation):
+    # match-score MLP width and CE weight
+    query_fc_out_channels: int = 1024
+    match_loss_weight: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -169,6 +173,14 @@ class VideoKNetConfig(KNetConfig):
     link_previous: bool = True
     previous_type: str = "ffn"  # 'ffn' | 'update' | 'update_obj'
     previous_link: str | None = None  # None | 'link_atten' | 'update_dynamic_cov'
+    # Track-embedding source (the VPS detector-ablation family):
+    #   'kernel_embed' — release (VideoKNetQuansiEmbedFCJointTrain)
+    #   'query_fuse'   — VideoKNetFuseTrack (knet/video/knet_track_head.py:12):
+    #                    QueryTrackHead match-score CE over the final kernels
+    #   'roi_gt_box'   — VideoKNetQuansiTrackROIGTBoxJointTrain
+    #                    (knet_quansi_dense_roi_gt_box_joint_train.py:17):
+    #                    RoIAligned appearance embeddings at GT-mask boxes
+    track_head_type: str = "kernel_embed"
     ref_seq_index: Sequence[int] = (-2, -1, 1, 2)
     track: TrackHeadConfig = field(default_factory=TrackHeadConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)

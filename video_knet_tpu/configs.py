@@ -61,10 +61,51 @@ def video_knet_s3_r50_kitti_step_joint_train() -> VideoKNetConfig:
     return kitti_step_video_config()
 
 
-def video_knet_s3_swin_b_kitti_step_joint_train() -> VideoKNetConfig:
-    """swin-b 'joint_update' variant of the KITTI-STEP release config."""
-    return dataclasses.replace(kitti_step_video_config(), backbone="swin_base",
-                               backbone_drop_path_rate=0.3)
+def video_knet_s3_swin_b_kitti_step_joint_update() -> VideoKNetConfig:
+    """configs/det/video_knet_kitti_step/video_knet_s3_swinb_..._joint_update.py:
+    swin-b with previous_link='update_dynamic_cov', previous_type='update'."""
+    return dataclasses.replace(
+        kitti_step_video_config(), backbone="swin_base",
+        backbone_drop_path_rate=0.3,
+        previous_link="update_dynamic_cov", previous_type="update",
+    )
+
+
+def video_knet_s3_swin_l_kitti_step_joint_update() -> VideoKNetConfig:
+    """configs/det/video_knet_kitti_step/video_knet_s3_swinl_..._joint_update.py."""
+    return dataclasses.replace(
+        video_knet_s3_swin_b_kitti_step_joint_update(), backbone="swin_large",
+        backbone_drop_path_rate=0.2,
+    )
+
+
+def video_knet_s3_swin_l_kitti_step_short_track_fc() -> VideoKNetConfig:
+    """...swinl_..._update_conv_short_track_fc.py: previous_link=
+    'update_dynamic_cov', previous_type='ffn', track-head MLP num_fcs=1."""
+    base = kitti_step_video_config()
+    return dataclasses.replace(
+        base, backbone="swin_large", backbone_drop_path_rate=0.2,
+        previous_link="update_dynamic_cov", previous_type="ffn",
+        track=dataclasses.replace(base.track, num_fcs=1),
+    )
+
+
+def video_knet_fuse_track_kitti_step() -> VideoKNetConfig:
+    """VideoKNetFuseTrack ablation (knet/video/knet_track_head.py:12):
+    QueryTrackHead match-score CE instead of the quasi-dense kernel embedding.
+    Registered-but-unreleased in the reference (no config file ships)."""
+    return dataclasses.replace(
+        kitti_step_video_config(), track_head_type="query_fuse"
+    )
+
+
+def video_knet_roi_gt_box_kitti_step() -> VideoKNetConfig:
+    """VideoKNetQuansiTrackROIGTBoxJointTrain ablation
+    (knet/video/knet_quansi_dense_roi_gt_box_joint_train.py:17): track
+    embeddings RoIAligned at GT-mask boxes. No reference config file ships."""
+    return dataclasses.replace(
+        kitti_step_video_config(), track_head_type="roi_gt_box"
+    )
 
 
 def video_knet_toy_kitti_step() -> VideoKNetConfig:
@@ -89,6 +130,12 @@ def video_knet_vis_swin_b_ytvis2019() -> VISConfig:
                                backbone_drop_path_rate=0.3)
 
 
+def video_knet_vis_volume_r50_ytvis2019() -> VISConfig:
+    """Volume (tube-kernel) VIS ablation: ConvKernelHeadVideo init
+    (knet_vis/tracker/kernel_head.py:12), clip stages only."""
+    return dataclasses.replace(youtube_vis_2019_config(), kernel_head_mode="volume")
+
+
 CONFIGS: dict[str, Callable] = {
     "knet_s3_r50_fpn_cityscapes_step": knet_s3_r50_fpn_cityscapes_step,
     "knet_s3_swin_b_fpn_cityscapes_step": knet_s3_swin_b_fpn_cityscapes_step,
@@ -97,12 +144,28 @@ CONFIGS: dict[str, Callable] = {
     "video_knet_s3_r50_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_joint_train": (
         video_knet_s3_r50_kitti_step_joint_train
     ),
+    "video_knet_s3_r50_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_joint_train_8e": (
+        video_knet_s3_r50_kitti_step_joint_train  # 8-epoch schedule, same model
+    ),
+    "video_knet_s3_swinb_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_joint_update": (
+        video_knet_s3_swin_b_kitti_step_joint_update
+    ),
+    "video_knet_s3_swinl_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_joint_update": (
+        video_knet_s3_swin_l_kitti_step_joint_update
+    ),
+    "video_knet_s3_swinl_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_update_conv_short_track_fc": (
+        video_knet_s3_swin_l_kitti_step_short_track_fc
+    ),
     "video_knet_kitti_step_r50": video_knet_s3_r50_kitti_step_joint_train,
-    "video_knet_kitti_step_swin_b": video_knet_s3_swin_b_kitti_step_joint_train,
+    "video_knet_kitti_step_swin_b": video_knet_s3_swin_b_kitti_step_joint_update,
+    "video_knet_kitti_step_swin_l": video_knet_s3_swin_l_kitti_step_joint_update,
     "video_knet_kitti_step_toy": video_knet_toy_kitti_step,
+    "video_knet_kitti_step_fuse_track": video_knet_fuse_track_kitti_step,
+    "video_knet_kitti_step_roi_gt_box": video_knet_roi_gt_box_kitti_step,
     "video_knet_vipseg_r50": video_knet_s3_r50_vipseg,
     "video_knet_vis_r50_ytvis2019": video_knet_vis_r50_ytvis2019,
     "video_knet_vis_swin_b_ytvis2019": video_knet_vis_swin_b_ytvis2019,
+    "video_knet_vis_volume_r50_ytvis2019": video_knet_vis_volume_r50_ytvis2019,
 }
 
 

@@ -52,10 +52,12 @@ class BranchOutput(NamedTuple):
 
 class TrackEmbed(nn.Module):
     """embed_fcs (Linear no-bias -> LN -> ReLU) + fc_embed, then the track-head MLP
-    (QuasiDenseMaskEmbedHeadGTMask with num_convs=0, num_fcs=2: Linear-ReLU x2 ->
-    fc_embed). joint_train.py:114-126 + track_heads.py:634-642."""
+    (QuasiDenseMaskEmbedHeadGTMask with num_convs=0: num_fcs x Linear-ReLU ->
+    fc_embed; num_fcs=2 release, 1 in the swin-l short_track_fc config).
+    joint_train.py:114-126 + track_heads.py:634-642."""
 
     channels: int = 256
+    num_fcs: int = 2
 
     @nn.compact
     def __call__(self, x: Array) -> Array:  # [..., C] kernel vectors
@@ -64,9 +66,24 @@ class TrackEmbed(nn.Module):
         y = nn.relu(y)
         y = nn.Dense(self.channels, name="fc_embed")(y)
         # track head MLP
-        y = nn.relu(nn.Dense(self.channels, name="track_fc0")(y))
-        y = nn.relu(nn.Dense(self.channels, name="track_fc1")(y))
+        for i in range(self.num_fcs):
+            y = nn.relu(nn.Dense(self.channels, name=f"track_fc{i}")(y))
         return nn.Dense(self.channels, name="track_fc_embed")(y)
+
+
+class QueryTrackEmbed(nn.Module):
+    """QueryTrackHead's per-kernel MLP (knet/video/track_heads.py:16-97, the
+    VideoKNetFuseTrack ablation): num_fcs=2 -> Linear(C)+ReLU, Linear(1024).
+    The correlation/match-score against the reference kernels is parameter-free
+    and lives in the loss (`_query_match_loss_one`) / tracker."""
+
+    channels: int = 256
+    out_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.relu(nn.Dense(self.channels, name="fc0")(x))
+        return nn.Dense(self.out_channels, name="fc1")(y)
 
 
 class VideoKNet(nn.Module):
@@ -97,7 +114,19 @@ class VideoKNet(nn.Module):
             )
             for s in range(cfg.num_stages)
         ]
-        self.track_embed = TrackEmbed(cfg.track.embed_channels)
+        if cfg.track_head_type == "query_fuse":
+            self.track_embed = QueryTrackEmbed(
+                cfg.track.in_channels, cfg.track.query_fc_out_channels
+            )
+        elif cfg.track_head_type == "roi_gt_box":
+            from video_knet_tpu.models.video.roi_track_head import ROITrackHead
+
+            self.roi_track_head = ROITrackHead(cfg.track.embed_channels)
+            self.track_embed = None
+        else:
+            self.track_embed = TrackEmbed(
+                cfg.track.embed_channels, num_fcs=cfg.track.num_fcs
+            )
 
     def extract_feat(self, img: Array) -> Array:
         return self.neck(self.backbone(img))
@@ -125,12 +154,20 @@ class VideoKNet(nn.Module):
         return BranchOutput(rpn_out, outs, obj_track)
 
     def __call__(
-        self, img: Array, ref_img: Array
+        self,
+        img: Array,
+        ref_img: Array,
+        gt_masks: Array | None = None,
+        ref_gt_masks: Array | None = None,
     ) -> tuple[BranchOutput, BranchOutput, Array, Array]:
         """Joint train forward: ref branch plain, key branch linked to ref kernels.
 
         Returns (key, ref, key_embeds, ref_embeds); embeddings are computed for all
         proposals (the loss gathers the assigned ones, joint_train.py:426-452).
+        With track_head_type='roi_gt_box' the embeddings are instead RoIAligned
+        at GT-mask boxes and are GT-slot aligned [B, G, D]
+        (knet_quansi_dense_roi_gt_box_joint_train.py:390-431) — `gt_masks` /
+        `ref_gt_masks` [B, G, h, w] are required then.
         """
         ref = self.run_branch(ref_img, None)
         # previous_detach defaults to False (kernel_update_head.py:53): gradients
@@ -138,10 +175,33 @@ class VideoKNet(nn.Module):
         prev_obj = ref.stage_outs[-1].object_feats
         key = self.run_branch(img, prev_obj if self.cfg.link_previous else None)
         n = self.cfg.num_proposals
+        if self.cfg.track_head_type == "roi_gt_box":
+            if gt_masks is None:  # init/shape-inference path
+                s = self.cfg.mask_assign_stride
+                gt_masks = jnp.zeros(
+                    (img.shape[0], self.cfg.max_insts,
+                     img.shape[1] // s, img.shape[2] // s), jnp.float32,
+                )
+                ref_gt_masks = gt_masks
+            key_embeds = self._roi_embed(key.rpn_out.x_feats, gt_masks)
+            ref_embeds = self._roi_embed(ref.rpn_out.x_feats, ref_gt_masks)
+            return key, ref, key_embeds, ref_embeds
         key_src = key.obj_feats_track if key.obj_feats_track is not None else key.stage_outs[-1].object_feats
         key_embeds = self.embed(key_src[:, :n])
         ref_embeds = self.embed(ref.stage_outs[-1].object_feats[:, :n])
         return key, ref, key_embeds, ref_embeds
+
+    def _roi_embed(self, x_feats: Array, masks: Array) -> Array:
+        """RoIAlign track embeddings at mask-derived boxes.
+
+        masks: [B, M, h, w] (GT slots at train time; sigmoid mask probs at test
+        time). Boxes are in mask pixel coords; spatial_scale rescales to x_feats.
+        """
+        from video_knet_tpu.models.video.roi_track_head import masks_to_boxes_jax
+
+        boxes = jax.vmap(masks_to_boxes_jax)(masks)
+        scale = x_feats.shape[2] / masks.shape[-1]
+        return self.roi_track_head(x_feats, boxes, scale)
 
     def embed(self, kernels: Array) -> Array:
         """Track embeddings from kernel vectors [..., K*K, C] (uses tap 0 = K=1)."""
@@ -165,7 +225,15 @@ class VideoKNet(nn.Module):
         track_src = last.object_feats if key.obj_feats_track is None else jnp.where(
             is_first, last.object_feats, key.obj_feats_track
         )
-        embeds = self.embed(track_src[:, : cfg.num_proposals])  # [B, N, D]
+        if cfg.track_head_type == "roi_gt_box":
+            # test-time ROI embeddings at predicted-mask boxes
+            # (knet_quansi_dense_roi_gt_box_joint_train.py:584)
+            probs = jax.nn.sigmoid(
+                last.scaled_mask_preds[:, : cfg.num_proposals].astype(jnp.float32)
+            )
+            embeds = self._roi_embed(key.rpn_out.x_feats, probs)
+        else:
+            embeds = self.embed(track_src[:, : cfg.num_proposals])  # [B, N, D]
         return dict(
             rpn_out=key.rpn_out,
             stage_outs=key.stage_outs,
@@ -214,6 +282,32 @@ def _track_loss_one(
     )
     loss_aux = jnp.where(jnp.any(pair_valid), loss_aux, 0.0)
     return loss_track, loss_aux
+
+
+def _query_match_loss_one(
+    key_emb_g: Array,  # [G, D] query embeddings gathered at key GT slots
+    ref_emb_g: Array,  # [G, D]
+    key_valid: Array,  # [G]
+    ref_valid: Array,  # [G]
+    key_ids: Array,  # [G]
+    ref_ids: Array,  # [G]
+    *,
+    loss_weight: float,
+) -> Array:
+    """QueryTrackHead match-score CE (track_heads.py:78-137 + FuseTrack's
+    track_head.loss): correlation of key vs ref embeddings with a leading
+    all-zero "new object" column; target = matching ref slot + 1, or 0."""
+    score = key_emb_g @ ref_emb_g.T  # [G, G]
+    score = jnp.where(ref_valid[None, :], score, -1e9)
+    score = jnp.concatenate(
+        [jnp.zeros((score.shape[0], 1), score.dtype), score], axis=1
+    )  # [G, 1+G]
+    same = (key_ids[:, None] == ref_ids[None, :]) & ref_valid[None, :]
+    target = jnp.where(jnp.any(same, axis=1), jnp.argmax(same, axis=1) + 1, 0)
+    logp = jax.nn.log_softmax(score, axis=1)
+    ce = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+    w = key_valid.astype(jnp.float32)
+    return loss_weight * jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def video_knet_loss(
@@ -286,7 +380,22 @@ def video_knet_loss(
     key_pred_of_gt = key_track_p2g  # [B, G]
     ref_pred_of_gt = ref_track_p2g
 
-    key_emb, ref_emb = embeds  # [B, N, D]
+    key_emb, ref_emb = embeds  # [B, N, D] ([B, G, D] GT-slot aligned for roi_gt_box)
+
+    t = cfg.track
+    if cfg.track_head_type == "roi_gt_box":
+        # GT-box mode: embeddings are already GT-slot aligned; no Hungarian gather
+        from video_knet_tpu.models.video.roi_track_head import roi_track_loss
+
+        losses.update(
+            roi_track_loss(
+                key_emb, ref_emb, gt.valid, ref_gt.valid,
+                gt.instance_ids, ref_gt.instance_ids,
+                loss_track_weight=t.loss_track_weight,
+                aux_weight=t.loss_track_aux_weight,
+            )
+        )
+        return losses
 
     def gather(emb, pred_of_gt):
         safe = jnp.maximum(pred_of_gt, 0)
@@ -297,7 +406,15 @@ def video_knet_loss(
     key_valid = (key_pred_of_gt >= 0) & gt.valid
     ref_valid = (ref_pred_of_gt >= 0) & ref_gt.valid
 
-    t = cfg.track
+    if cfg.track_head_type == "query_fuse":
+        loss_match = jax.vmap(
+            lambda a, b, c_, d, e, f: _query_match_loss_one(
+                a, b, c_, d, e, f, loss_weight=t.match_loss_weight
+            )
+        )(key_emb_g, ref_emb_g, key_valid, ref_valid,
+          gt.instance_ids, ref_gt.instance_ids)
+        losses["loss_match"] = jnp.mean(loss_match)
+        return losses
     loss_track, loss_aux = jax.vmap(
         lambda a, b, c_, d, e, f: _track_loss_one(
             a, b, c_, d, e, f,

@@ -84,15 +84,22 @@ def make_vps_loss_fn(model: VideoKNet, cfg: VideoKNetConfig):
 
     def loss_fn(params, batch_stats, batch: VPSBatch):
         variables = {"params": params, "batch_stats": batch_stats}
+        # roi_gt_box track embeddings are RoIAligned at GT-mask boxes, so the
+        # forward needs the GT masks (knet_quansi_dense_roi_gt_box_joint_train.py)
+        gt_args = (
+            (batch.gt.masks, batch.ref_gt.masks)
+            if cfg.track_head_type == "roi_gt_box"
+            else ()
+        )
         mutable = ["batch_stats"] if (model.train and not cfg.norm_eval) else False
         if mutable:
             (key, ref, key_emb, ref_emb), updates = model.apply(
-                variables, batch.img, batch.ref_img, mutable=mutable
+                variables, batch.img, batch.ref_img, *gt_args, mutable=mutable
             )
             new_bs = updates["batch_stats"]
         else:
             key, ref, key_emb, ref_emb = model.apply(
-                variables, batch.img, batch.ref_img, mutable=False
+                variables, batch.img, batch.ref_img, *gt_args, mutable=False
             )
             new_bs = batch_stats
         losses = video_knet_loss(

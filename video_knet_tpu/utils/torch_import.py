@@ -231,8 +231,11 @@ def import_torch_knet(
         _ln(sd, "embed_fcs.1", ("embed_ln0",), te)
         _linear(sd, "fc_embed", ("fc_embed",), te)
         if "track_head.fc_embed.weight" in sd:
-            _linear(sd, "track_head.fcs.0", ("track_fc0",), te)
-            _linear(sd, "track_head.fcs.1", ("track_fc1",), te)
+            i = 0
+            # num_fcs varies per config (2 release, 1 "short_track_fc")
+            while f"track_head.fcs.{i}.weight" in sd:
+                _linear(sd, f"track_head.fcs.{i}", (f"track_fc{i}",), te)
+                i += 1
             _linear(sd, "track_head.fc_embed", ("track_fc_embed",), te)
         params["track_embed"] = te
 
