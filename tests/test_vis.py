@@ -159,3 +159,35 @@ def test_volume_kernel_head():
     assert out.tube_mask_preds.shape == (b, t, n, 8, 12)
     assert out.x_feats.shape == (b, t, 8, 12, 256)
     assert out.seg_preds.shape == (b, t, 8, 12, cfg.rpn.num_classes)
+
+
+def test_volume_vis_pipeline():
+    """Volume (tube-kernel) mode end-to-end: forward, losses, grads, decode
+    (ConvKernelHeadVideo, knet_vis/tracker/kernel_head.py:12)."""
+    cfg = dataclasses.replace(tiny_vis_cfg(), kernel_head_mode="volume")
+    model = KNetVIS(cfg, train=True)
+    clip = jnp.zeros((1, 2, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    gt = _make_clip_gt(cfg, 1, 2, (16, 24))
+
+    def loss_fn(params):
+        outs = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, clip
+        )
+        losses = knet_vis_loss(outs, gt, cfg)
+        return sum(losses.values()), losses
+
+    (total, losses), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"])
+    assert "loss_rpn_mask" in losses and "tracker_s0_loss_dice" in losses
+    assert "s0_loss_dice" not in losses  # no per-frame iter head in volume mode
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    g = grads["rpn_head"]["init_kernels"]
+    assert float(jnp.abs(g).sum()) > 0
+
+    infer = KNetVIS(cfg, train=False)
+    outs = infer.apply(variables, clip, mutable=False)
+    pred = vis_decode(outs, cfg, out_hw=(64, 96))
+    assert pred.masks.shape == (2, cfg.test.max_per_img, 64, 96)

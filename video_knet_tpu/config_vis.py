@@ -30,6 +30,10 @@ class VISConfig:
     num_frames: int = 5  # clip length at train (whole video at test)
     mask_assign_stride: int = 4
     max_insts: int = 16  # static tube slots
+    # kernel-init mode: 'frame' (per-frame K-Net then clip fusion, the release
+    # pipeline) | 'volume' (ConvKernelHeadVideo tube kernels,
+    # knet_vis/tracker/kernel_head.py:12 — skips the per-frame iter head)
+    kernel_head_mode: str = "frame"
     # per-frame K-Net
     num_stages: int = 3
     assign_stages: int = 3

@@ -140,17 +140,23 @@ class ClipKernelHead(nn.Module):
     def __call__(
         self,
         x: Array,
-        per_frame_kernels: Array,
+        per_frame_kernels: Array | None,
         mask_preds: Array,
         direct_kernels: Array | None = None,
+        clip_kernels: Array | None = None,
     ) -> list[ClipStageOutput]:
         """x: [B, T, H, W, C] frame features; per_frame_kernels: [B, T, N, C];
         mask_preds: [B, T, N, Hm, Wm] per-frame final masks from the image head;
-        direct_kernels: [N, C] raw init kernels (direct_tracker mode)."""
+        direct_kernels: [N, C] raw init kernels (direct_tracker mode);
+        clip_kernels: [B, N, C] already-clip-level kernels (the volume kernel
+        head, ConvKernelHeadVideo in knet_vis/tracker/kernel_head.py:12) —
+        skips the query merge entirely."""
         c = self.head_cfg.in_channels
-        b, t, n = per_frame_kernels.shape[:3]
+        b, t, n = mask_preds.shape[:3]
 
-        if direct_kernels is not None:
+        if clip_kernels is not None:
+            object_feats = clip_kernels
+        elif direct_kernels is not None:
             object_feats = jnp.broadcast_to(direct_kernels[None], (b, n, c))
         elif self.query_merge_method == "mean":
             object_feats = per_frame_kernels.mean(axis=1)  # [B, N, C]

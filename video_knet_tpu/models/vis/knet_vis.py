@@ -74,6 +74,25 @@ class KNetVIS(nn.Module):
             drop_path_rate=cfg.backbone_drop_path_rate,
         )(flat)
         fpn = FPN(name="neck")(feats)
+
+        if cfg.kernel_head_mode == "volume":
+            # volume (tube) kernel init: one kernel owns one tube from the start
+            # (ConvKernelHeadVideo, knet_vis/tracker/kernel_head.py:12); the
+            # per-frame iter head is skipped and the clip stages run directly.
+            from video_knet_tpu.models.vis.volume_head import ClipVolumeKernelHead
+
+            vol = ClipVolumeKernelHead(cfg.rpn, name="rpn_head")(fpn, num_frames=t)
+            clip_outs = ClipKernelHead(
+                cfg.head,
+                num_stages=cfg.tracker_num_stages,
+                assign_stages=cfg.tracker_assign_stages,
+                num_proposals=cfg.num_proposals,
+                query_merge_method=cfg.query_merge_method,
+                with_mask_init=cfg.with_mask_init,
+                name="tracker",
+            )(vol.x_feats, None, vol.tube_mask_preds, clip_kernels=vol.proposal_feats)
+            return VISOutputs(vol, [], clip_outs)
+
         rpn_out = ConvKernelHead(cfg.rpn, name="rpn_head")(fpn, num_frames=t)
         frame_outs = KernelIterHead(
             cfg.head, num_stages=cfg.num_stages, name="roi_head"
@@ -197,14 +216,74 @@ def _tube_stage_loss(
     return losses
 
 
-def knet_vis_loss(outs: VISOutputs, gt: ClipGT, cfg: VISConfig) -> dict[str, Array]:
-    """Per-frame rpn/iter losses + tracker tube losses."""
-    from video_knet_tpu.models.knet import iter_head_losses, rpn_loss
+def volume_rpn_loss(vol, gt: ClipGT, cfg: VISConfig) -> dict[str, Array]:
+    """ConvKernelHeadVideo losses: tube-assigned mask/dice on the init tube
+    masks + per-frame dense seg loss (knet_vis/tracker/kernel_head.py loss
+    surface, tube targets like the video assigner)."""
+    from video_knet_tpu.models.kernel_iter_head import upscale_masks
+    from video_knet_tpu.ops.targets import build_semantic_map
+
+    r = cfg.rpn
+    b, t, n, h, w = vol.tube_mask_preds.shape
+    flat = vol.tube_mask_preds.reshape(b * t, n, h, w)
+    scaled_f = upscale_masks(flat, r.feat_downsample_stride)
+    scaled = scaled_f.reshape(b, t, n, *scaled_f.shape[-2:])
+    gt_of_pred = _tube_assign(scaled, None, gt, cfg)
+
+    matched = gt_of_pred >= 0
+    safe = jnp.maximum(gt_of_pred, 0)
+    tube_targets = jnp.where(
+        matched[..., None, None, None],
+        jnp.take_along_axis(gt.masks, safe[..., None, None, None], axis=1),
+        0.0,
+    )  # [B, N, T, H, W]
+    pred_tubes = jnp.transpose(scaled, (0, 2, 1, 3, 4)).reshape(b * n, -1)
+    flat_tgt = tube_targets.reshape(b * n, -1)
+    flat_w = matched.astype(jnp.float32).reshape(b * n)
+    losses = {
+        "loss_rpn_mask": L.binary_cross_entropy(
+            pred_tubes, flat_tgt, flat_w, loss_weight=r.loss_mask_weight
+        ),
+        "loss_rpn_dice": L.dice_loss(
+            pred_tubes, flat_tgt, flat_w, loss_weight=r.loss_dice_weight
+        ),
+    }
 
     fgt = frame_gt_from_clip(gt)
-    losses = rpn_loss(outs.rpn_out, fgt, cfg)
-    iter_losses, _ = iter_head_losses(outs.rpn_out, outs.frame_stage_outs, fgt, cfg)
-    losses.update(iter_losses)
+    c = cfg.num_classes
+    seg = vol.seg_preds.reshape(b * t, h, w, c)
+    seg_scaled = jax.image.resize(
+        seg,
+        (b * t, h * r.feat_downsample_stride, w * r.feat_downsample_stride, c),
+        method="linear",
+    )
+    seg_t = build_semantic_map(
+        fgt, num_thing_classes=cfg.num_thing_classes, num_classes=c
+    )
+    flat_seg = seg_scaled.reshape(-1, c)
+    flat_t = seg_t.reshape(-1)
+    num_dense_pos = jnp.maximum(jnp.sum((flat_t < c).astype(jnp.float32)), 1.0)
+    losses["loss_rpn_seg"] = L.sigmoid_focal_loss(
+        flat_seg, flat_t, num_classes=c,
+        loss_weight=r.loss_seg_weight, avg_factor=num_dense_pos,
+    )
+    return losses
+
+
+def knet_vis_loss(outs: VISOutputs, gt: ClipGT, cfg: VISConfig) -> dict[str, Array]:
+    """Per-frame rpn/iter losses + tracker tube losses (volume mode: tube rpn
+    losses instead of the per-frame branch)."""
+    from video_knet_tpu.models.knet import iter_head_losses, rpn_loss
+
+    if cfg.kernel_head_mode == "volume":
+        losses = volume_rpn_loss(outs.rpn_out, gt, cfg)
+    else:
+        fgt = frame_gt_from_clip(gt)
+        losses = rpn_loss(outs.rpn_out, fgt, cfg)
+        iter_losses, _ = iter_head_losses(
+            outs.rpn_out, outs.frame_stage_outs, fgt, cfg
+        )
+        losses.update(iter_losses)
 
     gt_of_pred = None
     for s, out in enumerate(outs.clip_stage_outs):
