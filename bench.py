@@ -1,15 +1,20 @@
-"""Benchmark: Video K-Net VPS (R-50) online inference throughput on one chip.
+"""Benchmark: Video K-Net VPS (R-50) on one chip — inference AND training.
 
-Measures frames/sec of the jitted per-frame step (backbone + FPN + kernel heads +
-cross-frame linking + panoptic decode + track embeddings) at KITTI-STEP-like
-resolution (384 x 1248, the reference's train crop / test short side;
-configs/det/video_knet_kitti_step/...joint_train.py).
+Emits ONE JSON line. The headline metric is the *end-to-end* online VPS
+throughput at KITTI-STEP resolution (384 x 1248): `VPSInferencePipeline.run_frame`
+including the host-side tracker, panoptic `segments_to_host`, semantic-map and
+track-map construction — i.e. frames/sec a user actually gets, not just the
+jitted device step. Subsidiary numbers ride in "extra":
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is value / V100_BASELINE_FPS; the reference publishes no throughput
-(SURVEY.md §6), so the baseline is a V100 estimate for this model class (R-50
-kernel-based panoptic at ~0.5 MP, ~=10 fps on V100 with the reference's python/
-CPU-sync-heavy inference loop).
+  device_step_fps   — the jitted per-frame device function alone (r01's metric)
+  multi_stream_fps  — batched 8-stream offline decode throughput (device step)
+  train_step_s      — steady-state VPS train step (b1 @ 384x1248, fp32 params)
+  train_flops       — XLA cost-analysis FLOPs of that compiled train step
+  train_mfu         — train_flops / (train_step_s * chip peak bf16 FLOP/s)
+
+`vs_baseline` divides the headline e2e fps by a 10-fps V100 estimate for this
+model class (the reference publishes no throughput; SURVEY.md §6 — the torch
+inference loop is python- and CPU-sync-bound at ~0.5 MP).
 """
 
 from __future__ import annotations
@@ -20,18 +25,46 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vknet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 V100_BASELINE_FPS = 10.0
 H, W = 384, 1248
 WARMUP = 3
 ITERS = 20
 USE_BF16 = os.environ.get("VKNET_BENCH_BF16", "1") == "1"
+RUN_TRAIN = os.environ.get("VKNET_BENCH_TRAIN", "1") == "1"
+
+# chip peak dense bf16 FLOP/s by device kind (public figures)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
-def main():
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_BF16.items():
+        if k.lower() in kind.lower():
+            return v
+    return 197e12  # default: v5e
+
+
+def bench_inference():
+    """End-to-end run_frame fps + device-step fps + 8-stream throughput."""
     from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.inference import (
+        VPSInferencePipeline,
+        make_frame_step,
+    )
     from video_knet_tpu.models.video.knet_vps import VideoKNet
-    from video_knet_tpu.models.video.inference import make_frame_step
     from video_knet_tpu.utils.precision import cast_variables
 
     cfg = VideoKNetConfig(max_insts=8)
@@ -40,38 +73,118 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), img, img)
     if USE_BF16:
         variables = cast_variables(variables)
-        img = img.astype(jnp.bfloat16)
+
+    # --- end-to-end: host frames through the full pipeline (tracker included)
+    pipe = VPSInferencePipeline(model, variables, cfg, out_hw=(H, W))
+    rng = np.random.RandomState(0)
+    dt_ = jnp.bfloat16 if USE_BF16 else jnp.float32
+    frames = [
+        jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32), dtype=dt_)
+        for _ in range(4)
+    ]
+    for i in range(WARMUP):
+        pipe.run_frame(frames[i % len(frames)], is_first=(i == 0))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        pipe.run_frame(frames[i % len(frames)], is_first=False)
+    e2e_fps = ITERS / (time.perf_counter() - t0)
+
+    # --- device step only (comparable to BENCH_r01)
+    step = make_frame_step(model, variables, cfg, out_hw=(H, W))
     n_tot = cfg.num_proposals + cfg.num_stuff_classes
     k = cfg.head.conv_kernel_size**2
-    prev_obj = jnp.zeros(
-        (1, n_tot, k, cfg.head.in_channels),
-        jnp.bfloat16 if USE_BF16 else jnp.float32,
-    )
-
-    step = make_frame_step(model, variables, cfg, out_hw=(H, W))
-
+    prev = jnp.zeros((1, n_tot, k, cfg.head.in_channels), dt_)
     is_first = jnp.asarray(False)
     out = None
     for _ in range(WARMUP):
-        out = step(img, prev_obj, is_first)
-        prev_obj = out["new_obj_feats"]
+        out = step(frames[0], prev, is_first)
+        prev = out["new_obj_feats"]
     jax.block_until_ready(out)
-
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = step(img, prev_obj, is_first)
-        prev_obj = out["new_obj_feats"]
+        out = step(frames[0], prev, is_first)
+        prev = out["new_obj_feats"]
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dev_fps = ITERS / (time.perf_counter() - t0)
 
-    fps = ITERS / dt
+    # --- batched multi-stream device throughput (offline eval mode)
+    b = 8
+    bstep = make_frame_step(model, variables, cfg, out_hw=(H, W), batched=True)
+    bimg = jnp.zeros((b, H, W, 3), dt_)
+    bprev = jnp.zeros((b, n_tot, k, cfg.head.in_channels), dt_)
+    for _ in range(WARMUP):
+        out = bstep(bimg, bprev, is_first)
+        bprev = out["new_obj_feats"]
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = bstep(bimg, bprev, is_first)
+        bprev = out["new_obj_feats"]
+    jax.block_until_ready(out)
+    ms_fps = b * ITERS / (time.perf_counter() - t0)
+
+    return e2e_fps, dev_fps, ms_fps
+
+
+def bench_train():
+    """Steady-state train-step seconds + compiled FLOPs + MFU (b1 @ 384x1248)."""
+    import optax
+    from jax.sharding import Mesh
+
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vps import make_sharded_train_step, make_synthetic_batch
+
+    cfg = VideoKNetConfig(max_insts=8)
+    model = VideoKNet(cfg, train=True)
+    batch = make_synthetic_batch(cfg, 1, (H, W))
+    variables = model.init(jax.random.PRNGKey(0), batch.img, batch.ref_img)
+    tx = optax.adamw(1e-4, weight_decay=5e-2)
+    state = create_train_state(variables, tx)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    train_step = make_sharded_train_step(model, cfg, tx, mesh)
+
+    lowered = train_step.lower(state, batch)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+
+    state, losses = train_step(state, batch)
+    jax.block_until_ready(losses)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = train_step(state, batch)
+    jax.block_until_ready(losses)
+    step_s = (time.perf_counter() - t0) / iters
+    mfu = flops / (step_s * _peak_flops()) if flops == flops else float("nan")
+    return step_s, flops, mfu
+
+
+def main():
+    e2e_fps, dev_fps, ms_fps = bench_inference()
+    extra = {
+        "device_step_fps": round(dev_fps, 3),
+        "multi_stream_fps": round(ms_fps, 3),
+    }
+    if RUN_TRAIN:
+        step_s, flops, mfu = bench_train()
+        extra.update(
+            train_step_s=round(step_s, 4),
+            train_flops=flops,
+            train_mfu=round(mfu, 4),
+        )
     print(
         json.dumps(
             {
-                "metric": "vps_online_inference_fps_r50_384x1248",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+                "metric": "vps_e2e_online_fps_r50_384x1248",
+                "value": round(e2e_fps, 3),
+                "unit": "frames/sec/chip (incl. host tracker + decode)",
+                "vs_baseline": round(e2e_fps / V100_BASELINE_FPS, 3),
+                "extra": extra,
             }
         )
     )
