@@ -74,7 +74,8 @@ def bench_inference():
     if USE_BF16:
         variables = cast_variables(variables)
 
-    # --- end-to-end: host frames through the full pipeline (tracker included)
+    # --- end-to-end: host frames through the full pipeline (tracker included),
+    # pipelined (run_sequence overlaps host tracking with device compute)
     pipe = VPSInferencePipeline(model, variables, cfg, out_hw=(H, W))
     rng = np.random.RandomState(0)
     dt_ = jnp.bfloat16 if USE_BF16 else jnp.float32
@@ -82,11 +83,13 @@ def bench_inference():
         jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32), dtype=dt_)
         for _ in range(4)
     ]
-    for i in range(WARMUP):
-        pipe.run_frame(frames[i % len(frames)], is_first=(i == 0))
+    seq = [frames[i % len(frames)] for i in range(WARMUP + ITERS)]
+    gen = pipe.run_sequence(seq)
+    for _ in range(WARMUP):
+        next(gen)
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        pipe.run_frame(frames[i % len(frames)], is_first=False)
+    for _ in range(ITERS):
+        next(gen)
     e2e_fps = ITERS / (time.perf_counter() - t0)
 
     # --- device step only (comparable to BENCH_r01)
@@ -152,8 +155,12 @@ def bench_train():
         cost = cost[0]
     flops = float(cost.get("flops", float("nan")))
 
-    state, losses = train_step(state, batch)
-    jax.block_until_ready(losses)
+    # TWO warmup steps: the first call's output state carries the sharded/
+    # donated layout, so the second call compiles a second signature — both
+    # must be compiled before the timed region
+    for _ in range(2):
+        state, losses = train_step(state, batch)
+        jax.block_until_ready(losses)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):

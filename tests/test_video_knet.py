@@ -184,3 +184,26 @@ def test_ablation_detectors_train_and_infer(track_type):
     pipe = VPSInferencePipeline(infer, variables, cfg, out_hw=(64, 96))
     res = pipe.run_frame(img, is_first=True)
     assert res.track_map.shape == (64, 96)
+
+
+def test_run_sequence_matches_run_frame(video_setup):
+    """Windowed pipelined inference must produce the same maps as the
+    per-frame path (same tracker order, same upsampled labels)."""
+    cfg, model, variables, img = video_setup
+    infer_model = VideoKNet(cfg, train=False)
+    rng = np.random.RandomState(3)
+    frames = [
+        jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32)) for _ in range(5)
+    ]
+
+    pipe_a = VPSInferencePipeline(infer_model, variables, cfg, out_hw=(64, 96))
+    ref = [pipe_a.run_frame(f, is_first=(i == 0)) for i, f in enumerate(frames)]
+
+    pipe_b = VPSInferencePipeline(infer_model, variables, cfg, out_hw=(64, 96))
+    got = list(pipe_b.run_sequence(frames, window=2))
+
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a.panoptic_seg, b.panoptic_seg)
+        np.testing.assert_array_equal(a.track_map, b.track_map)
+        np.testing.assert_array_equal(a.semantic_map, b.semantic_map)

@@ -30,30 +30,52 @@ KITTI_STEP_THING_IDS = (11, 13)
 
 
 def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
-                    batched: bool = False):
+                    batched: bool = False, compact_host: bool = False):
     """Builds the jitted per-frame device function.
 
     batched=True serves B independent video streams per step (vmapped decode,
     per-stream embeddings/filters) — the multi-stream throughput mode for
-    offline evaluation of many sequences at once."""
+    offline evaluation of many sequences at once.
+
+    compact_host=True keeps the panoptic id map at the merge (mask) resolution
+    and strips everything `_finish_frame` doesn't read — the payload drops from
+    ~2.8 MB to ~0.1 MB per frame at 384x1248. The host nearest-upsamples the
+    final label maps; with fast_decode the device would have nearest-upsampled
+    the very same id map, so the results are identical."""
 
     @jax.jit
     def step(img, prev_obj_feats, is_first):
         out = model.apply(
             variables, img, prev_obj_feats, is_first, method=VideoKNet.test_step
         )
+        decode_hw = None if compact_host else out_hw
         pred = vps_decode(
-            out["rpn_out"], out["stage_outs"], out["track_obj_feats"], cfg, out_hw,
-            batched=batched,
+            out["rpn_out"], out["stage_outs"], out["track_obj_feats"], cfg,
+            decode_hw, batched=batched,
         )
         # semantic filter (joint_train.py:546-553): argmax over seg logits; the
         # argmax is taken at feature resolution and nearest-upsampled (identical
         # label map away from boundaries, ~19x less resize traffic)
         seg = out["rpn_out"].seg_preds if batched else out["rpn_out"].seg_preds[0]
         sem_label = jnp.argmax(seg, axis=-1).astype(jnp.int32)
-        shape = (seg.shape[0], *out_hw) if batched else tuple(out_hw)
+        pan_hw = tuple(pred.result.panoptic_seg.shape[-2:])
+        shape = (seg.shape[0], *pan_hw) if batched else pan_hw
         sem_label = jax.image.resize(sem_label, shape, method="nearest")
-        semantic_thing = (sem_label < cfg.num_thing_classes).astype(jnp.float32)
+        # bool on the wire (4x fewer bytes to host); _finish_frame re-floats it
+        semantic_thing = sem_label < cfg.num_thing_classes
+        if compact_host:
+            res = pred.result
+            return dict(
+                pan=res.panoptic_seg.astype(jnp.int16),  # ids < 2^15 always
+                keep=res.keep, seg_ids=res.seg_ids.astype(jnp.int16),
+                labels=res.labels.astype(jnp.int16), scores=res.scores,
+                isthing=res.isthing, areas=res.areas,
+                instance_idx=res.instance_idx.astype(jnp.int16),
+                thing_mask_idx=pred.thing_mask_idx.astype(jnp.int16),
+                embeds=out["track_embeds"][0].astype(jnp.float32),
+                semantic_thing=semantic_thing,
+                new_obj_feats=out["new_obj_feats"],
+            )
         return dict(
             pred=pred,
             embeds=out["track_embeds"] if batched else out["track_embeds"][0],
@@ -87,14 +109,16 @@ def semantic_map_from_panoptic(
     None: the dataset space IS the repo's things-first space (VIP-Seg after the
     vip2hb-equivalent decode): thing -> cat; stuff -> cat - 1 + num_thing.
     """
-    sem = np.zeros(pan.shape, np.int32)
+    # segment-id -> class lookup table, then one gather over the id map
+    # (a per-segment `pan == id` compare is O(K*HW) and dominated run_frame)
+    max_id = max((seg["id"] for seg in segments_info), default=0)
+    lut = np.zeros(max_id + 1, np.int32)
     for seg in segments_info:
-        region = pan == seg["id"]
         if seg["isthing"]:
             if thing_ids_in_orig is not None:
-                sem[region] = thing_ids_in_orig[seg["category_id"]]
+                cls = thing_ids_in_orig[seg["category_id"]]
             else:
-                sem[region] = seg["category_id"]
+                cls = seg["category_id"]
         else:
             cat = seg["category_id"] - 1
             if thing_ids_in_orig is not None:
@@ -102,10 +126,11 @@ def semantic_map_from_panoptic(
                 for tid in thing_ids_in_orig:
                     if cat + offset >= tid:
                         offset += 1
-                sem[region] = cat + offset
+                cls = cat + offset
             else:
-                sem[region] = cat + num_thing_classes
-    return sem
+                cls = cat + num_thing_classes
+        lut[seg["id"]] = cls
+    return lut[np.minimum(pan, max_id)]
 
 
 class VPSInferencePipeline:
@@ -124,7 +149,10 @@ class VPSInferencePipeline:
                  tracker_type: str = "quasi_dense"):
         self.cfg = cfg
         self.out_hw = out_hw
-        self.step = make_frame_step(model, variables, cfg, out_hw)
+        # compact payload: id maps cross to the host at merge resolution and
+        # are nearest-upsampled there (identical labels; ~25x fewer bytes)
+        self.step = make_frame_step(model, variables, cfg, out_hw,
+                                    compact_host=True)
         self.thing_ids_in_orig = thing_ids_in_orig
         self.tracker_type = tracker_type
         n_tot = cfg.num_proposals + cfg.num_stuff_classes
@@ -160,31 +188,100 @@ class VPSInferencePipeline:
             self.reset()
         out = self.step(img, self.prev_obj_feats, jnp.asarray(is_first))
         self.prev_obj_feats = out["new_obj_feats"]
+        # ONE device->host transfer for everything the tracker needs (separate
+        # np.asarray pulls would pay one device round-trip each — ruinous over
+        # the remote-TPU tunnel, and still wasteful over PCIe)
+        host = jax.device_get(
+            {k: v for k, v in out.items() if k != "new_obj_feats"}
+        )
+        return self._finish_frame(host)
 
-        pred = out["pred"]
-        pan, segments_info = segments_to_host(pred.result, self.cfg.num_thing_classes)
-        semantic_thing = np.asarray(out["semantic_thing"])
-        embeds = np.asarray(out["embeds"])
+    def run_sequence(self, frames, is_first_flags=None, window: int = 8):
+        """Pipelined online inference over an iterable of frames.
+
+        Yields one VPSResult per frame. Device steps are enqueued continuously
+        (the per-frame recurrence — prev kernels — lives on device), and host
+        payloads are fetched `window` frames at a time so the device→host
+        round-trip latency amortizes across the window while the NEXT window
+        computes. window=1 degrades gracefully to per-frame latency mode; the
+        tracker itself still sees every frame strictly in order."""
+        pending: list | None = None
+        buf: list = []
+
+        def drain(payloads):
+            for h in jax.device_get(payloads):
+                yield self._finish_frame(h)
+
+        for i, img in enumerate(frames):
+            is_first = (i == 0) if is_first_flags is None else is_first_flags[i]
+            if is_first and i > 0:
+                # sequence boundary: flush everything, then reset tracker state
+                if pending:
+                    yield from drain(pending)
+                    pending = None
+                if buf:
+                    yield from drain(buf)
+                    buf = []
+            if is_first:
+                self.reset()
+            out = self.step(img, self.prev_obj_feats, jnp.asarray(is_first))
+            self.prev_obj_feats = out["new_obj_feats"]
+            buf.append({k: v for k, v in out.items() if k != "new_obj_feats"})
+            if len(buf) >= max(window, 1):
+                if pending:
+                    yield from drain(pending)
+                pending = buf
+                buf = []
+        if pending:
+            yield from drain(pending)
+        if buf:
+            yield from drain(buf)
+
+    def _finish_frame(self, host: dict) -> VPSResult:
+        """Host-side tracker + map construction on the compact fetched payload.
+
+        The panoptic id map arrives at merge resolution; all per-segment work
+        (mask extraction, boxes, semantic map) runs there, and only the final
+        label maps are nearest-upsampled to out_hw — the same upsample the
+        device's fast_decode path would have applied, so labels are identical.
+        """
+        from video_knet_tpu.data.transforms import nearest_resize
+        from video_knet_tpu.ops.panoptic import PanopticResult
+
+        res = PanopticResult(
+            panoptic_seg=np.asarray(host["pan"], np.int32),
+            keep=np.asarray(host["keep"]),
+            seg_ids=np.asarray(host["seg_ids"], np.int32),
+            labels=np.asarray(host["labels"], np.int32),
+            scores=np.asarray(host["scores"]),
+            isthing=np.asarray(host["isthing"]),
+            areas=np.asarray(host["areas"]),
+            instance_idx=np.asarray(host["instance_idx"], np.int32),
+        )
+        pan, segments_info = segments_to_host(res, self.cfg.num_thing_classes)
+        semantic_thing = np.asarray(host["semantic_thing"], dtype=np.float32)
+        embeds = np.asarray(host["embeds"], dtype=np.float32)
+        oh, ow = self.out_hw
+        sy, sx = oh / pan.shape[0], ow / pan.shape[1]
 
         # collect kept things (joint_train.py:541-567)
-        keep = np.asarray(pred.result.keep)
-        isthing = np.asarray(pred.result.isthing)
+        keep = res.keep
+        isthing = res.isthing
         thing_sel = np.nonzero(keep & isthing)[0]
         track_map = np.zeros(pan.shape, np.float64)
         if len(thing_sel) > 0:
-            masks = np.stack(
-                [pan == int(np.asarray(pred.result.seg_ids)[k]) for k in thing_sel]
-            )
-            labels = np.asarray(pred.result.labels)[thing_sel]
-            scores = np.asarray(pred.result.scores)[thing_sel]
+            masks = np.stack([pan == int(res.seg_ids[k]) for k in thing_sel])
+            labels = res.labels[thing_sel]
+            scores = res.scores[thing_sel]
             # candidate k indexes the topk thing list; its embedding comes from its
             # source proposal (thing_mask_idx)
-            inst = np.asarray(pred.result.instance_idx)[thing_sel]
-            mask_idx = np.asarray(pred.thing_mask_idx)
+            inst = res.instance_idx[thing_sel]
+            mask_idx = np.asarray(host["thing_mask_idx"], np.int32)
             det_embeds = embeds[mask_idx[inst]]
             filt = masks * semantic_thing[None]
             if self.tracker_type == "quasi_dense":
-                boxes = masks_to_boxes(filt)
+                # boxes in out_hw coords (scale-consistent with prior frames)
+                boxes = masks_to_boxes(filt) * np.array([sx, sy, sx, sy])
                 bboxes5 = np.concatenate([boxes, scores[:, None]], axis=1)
                 sel, _, ids = self.tracker.match(
                     bboxes5, labels, det_embeds, self.frame_id
@@ -208,6 +305,10 @@ class VPSInferencePipeline:
             thing_ids_in_orig=self.thing_ids_in_orig,
         )
         self.frame_id += 1
+        if pan.shape != (oh, ow):
+            pan = nearest_resize(pan, (oh, ow))
+            sem = nearest_resize(sem, (oh, ow))
+            track_map = nearest_resize(track_map, (oh, ow))
         return VPSResult(pan, segments_info, sem, track_map)
 
 
