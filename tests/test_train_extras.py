@@ -71,3 +71,39 @@ def test_freeze_detector_masks_all_but_track():
     )
     assert any("track_embed" in t for t in trainable)
     assert any("attention_previous" in t for t in trainable)
+
+
+def test_bf16_train_step_matches_fp32():
+    """bf16_train: loss close to fp32, grads/updates arrive fp32, step finite."""
+    import dataclasses
+
+    import optax
+
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vps import make_synthetic_batch, make_vps_loss_fn
+
+    cfg32 = VideoKNetConfig(max_insts=4)
+    cfg16 = dataclasses.replace(cfg32, bf16_train=True)
+    model = VideoKNet(cfg32, train=True)
+    batch = make_synthetic_batch(cfg32, 1, (64, 96))
+    variables = model.init(jax.random.PRNGKey(0), batch.img, batch.ref_img)
+
+    loss32 = make_vps_loss_fn(model, cfg32)
+    loss16 = make_vps_loss_fn(VideoKNet(cfg16, train=True), cfg16)
+    t32, _ = jax.jit(loss32)(variables["params"], variables["batch_stats"], batch)
+    t16, _ = jax.jit(loss16)(variables["params"], variables["batch_stats"], batch)
+    assert np.isfinite(float(t16))
+    # bf16 forward must stay within a few percent of the fp32 loss
+    assert abs(float(t16) - float(t32)) / float(t32) < 0.05, (float(t32), float(t16))
+
+    tx = optax.adam(1e-4)
+    state = create_train_state(variables, tx)
+    grads = jax.jit(jax.grad(lambda p: loss16(p, state.batch_stats, batch)[0]))(
+        state.params
+    )
+    dtypes = {x.dtype for x in jax.tree_util.tree_leaves(grads)}
+    assert dtypes == {jnp.dtype(jnp.float32)}, dtypes  # masters + grads stay fp32
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0

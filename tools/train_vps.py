@@ -46,6 +46,8 @@ def parse_args():
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run val VPQ/STQ every N epochs (0 = off)")
     p.add_argument("--eval-max-frames", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward/backward compute (fp32 master params)")
     p.add_argument("--freeze-detector", action="store_true",
                    help="non-joint two-phase mode: train only track/link layers")
     return p.parse_args()
@@ -72,7 +74,8 @@ def main():
         if args.dataset == "kitti_step"
         else vipseg_video_config()
     )
-    cfg = dataclasses.replace(cfg, backbone=args.backbone, max_insts=args.max_insts)
+    cfg = dataclasses.replace(cfg, backbone=args.backbone, max_insts=args.max_insts,
+                              bf16_train=args.bf16)
 
     ds_cls = KittiStepDVPS if args.dataset == "kitti_step" else VIPSegDVPS
     ds = ds_cls(args.data_root, split="train", ref_seq_index=list(cfg.ref_seq_index),

@@ -144,6 +144,11 @@ class KNetConfig:
     backbone_drop_path_rate: float = 0.0  # 0.3 swin-b / 0.2 swin-l configs
     frozen_stages: int = 1
     norm_eval: bool = True
+    # TPU mixed precision: forward+backward compute in bfloat16 (params cast at
+    # use, fp32 master copies + fp32 optimizer state + fp32 losses). No loss
+    # scaling needed for bf16 on TPU. Off = full fp32 (the reference trains
+    # fp32 on V100s).
+    bf16_train: bool = False
     num_stages: int = 3
     assign_stages: int = 3  # image config leaves default(5) > num_stages -> all stages
     stage_loss_weights: Sequence[float] = (1.0, 1.0, 1.0)

@@ -79,11 +79,43 @@ def make_synthetic_batch(cfg: VideoKNetConfig, b: int, hw: tuple[int, int],
     return VPSBatch(img, ref_img, gt, ref_gt)
 
 
+def _cast_pytree(tree, src, dst):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dst) if getattr(x, "dtype", None) == src else x, tree
+    )
+
+
 def make_vps_loss_fn(model: VideoKNet, cfg: VideoKNetConfig):
-    """loss_fn(params, batch_stats, batch) -> (total, (loss_dict, new_batch_stats))."""
+    """loss_fn(params, batch_stats, batch) -> (total, (loss_dict, new_batch_stats)).
+
+    cfg.bf16_train: the forward (and hence backward) runs in bfloat16 — params
+    are cast at use so the fp32 master copies and optimizer state stay exact;
+    model outputs are cast back to fp32 before the losses, so all loss math,
+    Hungarian costs, and reductions stay fp32.
+    """
+
+    if cfg.bf16_train and not cfg.norm_eval:
+        raise ValueError(
+            "bf16_train requires norm_eval=True (frozen BN stats): live BN "
+            "stat updates would be accumulated in bfloat16"
+        )
 
     def loss_fn(params, batch_stats, batch: VPSBatch):
-        variables = {"params": params, "batch_stats": batch_stats}
+        if cfg.bf16_train:
+            from video_knet_tpu.utils.precision import cast_variables
+
+            # bf16 params AND batch stats for the forward (fp32 norm params
+            # would silently promote everything downstream back to fp32);
+            # fp32 masters are untouched and grads arrive fp32 through the cast
+            variables = cast_variables(
+                {"params": params, "batch_stats": batch_stats}
+            )
+            batch = batch._replace(
+                img=batch.img.astype(jnp.bfloat16),
+                ref_img=batch.ref_img.astype(jnp.bfloat16),
+            )
+        else:
+            variables = {"params": params, "batch_stats": batch_stats}
         # roi_gt_box track embeddings are RoIAligned at GT-mask boxes, so the
         # forward needs the GT masks (knet_quansi_dense_roi_gt_box_joint_train.py)
         gt_args = (
@@ -102,6 +134,10 @@ def make_vps_loss_fn(model: VideoKNet, cfg: VideoKNetConfig):
                 variables, batch.img, batch.ref_img, *gt_args, mutable=False
             )
             new_bs = batch_stats
+        if cfg.bf16_train:
+            key, ref, key_emb, ref_emb = _cast_pytree(
+                (key, ref, key_emb, ref_emb), jnp.bfloat16, jnp.float32
+            )
         losses = video_knet_loss(
             (key, ref), (key_emb, ref_emb), batch.gt, batch.ref_gt, cfg
         )
