@@ -5,6 +5,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_mit_b0_shapes():
@@ -72,3 +73,55 @@ def test_ytvis_converter(tmp_path):
         json.dump(out, f)
     ds = YouTubeVISDataset(str(p))
     assert len(ds) == 1 and len(ds.videos[0].frames) == 2
+
+
+def test_grid_sample_matches_torch():
+    """grid_sample_bilinear vs torch.nn.functional.grid_sample
+    (align_corners=True, zeros padding) — the flow-warp primitive."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from video_knet_tpu.models.sfnet import grid_sample_bilinear
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 7, 9, 3).astype(np.float32)
+    gx = rng.uniform(-1.3, 1.3, (2, 5, 6)).astype(np.float32)
+    gy = rng.uniform(-1.3, 1.3, (2, 5, 6)).astype(np.float32)
+    ours = grid_sample_bilinear(jnp.asarray(x), jnp.asarray(gx), jnp.asarray(gy))
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1))
+    ref = F.grid_sample(
+        torch.from_numpy(x).permute(0, 3, 1, 2), grid,
+        mode="bilinear", padding_mode="zeros", align_corners=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_stdc_backbone_shapes():
+    from video_knet_tpu.models.sfnet import STDCNet
+
+    m = STDCNet(base=64, layers=(2, 2, 2))  # STDCNet813
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x, mutable=False)
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    assert [o.shape[-1] for o in outs] == [64, 256, 512, 1024]
+
+
+def test_upernet_align_rpn_forward():
+    """ConvKernelHead with the SFNet aligned localization head
+    (fpn_type='upernet_align') produces the standard RPN outputs."""
+    import dataclasses
+
+    from video_knet_tpu.config import KNetConfig
+    from video_knet_tpu.models.knet import KNet
+
+    base = KNetConfig(max_insts=4)
+    cfg = dataclasses.replace(
+        base, rpn=dataclasses.replace(base.rpn, fpn_type="upernet_align")
+    )
+    model = KNet(cfg, train=False)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    rpn_out, stage_outs = model.apply(variables, x, mutable=False)
+    assert rpn_out.seg_preds.shape[-1] == cfg.num_classes
+    assert np.all(np.isfinite(np.asarray(stage_outs[-1].cls_score)))

@@ -72,6 +72,9 @@ class ConvKernelHeadConfig:
     cat_stuff_mask: bool = True
     kernel_init_std: float = 1.0
     # localization fpn
+    # 'semantic_fpn' (release) | 'upernet_align' (SFNet aligned head,
+    # semantic_fpn_wrapper.py:239 — registered-but-unreleased variant)
+    fpn_type: str = "semantic_fpn"
     fpn_feat_channels: int = 256
     fpn_upsample_times: int = 2
     fpn_positional_encoding: bool = True

@@ -39,15 +39,25 @@ class ConvKernelHead(nn.Module):
         """num_frames set -> clip inputs [B*T, ...]: the localization FPN uses the
         3-D (temporal) positional encoding (SemanticFPNWrapper3D equivalent)."""
         cfg = self.cfg
-        loc_out = SemanticFPN(
-            feat_channels=cfg.fpn_feat_channels,
-            out_channels=cfg.out_channels,
-            upsample_times=cfg.fpn_upsample_times,
-            with_positional_encoding=cfg.fpn_positional_encoding,
-            num_aux_convs=cfg.fpn_num_aux_convs,
-            num_frames=num_frames,
-            name="localization_fpn",
-        )(feats)
+        if getattr(cfg, "fpn_type", "semantic_fpn") == "upernet_align":
+            from video_knet_tpu.models.sfnet import UperNetAlignHead
+
+            loc_out = UperNetAlignHead(
+                out_channels=cfg.out_channels,
+                num_aux_convs=max(cfg.fpn_num_aux_convs, 1),
+                with_positional_encoding=cfg.fpn_positional_encoding,
+                name="localization_fpn",
+            )(feats)
+        else:
+            loc_out = SemanticFPN(
+                feat_channels=cfg.fpn_feat_channels,
+                out_channels=cfg.out_channels,
+                upsample_times=cfg.fpn_upsample_times,
+                with_positional_encoding=cfg.fpn_positional_encoding,
+                num_aux_convs=cfg.fpn_num_aux_convs,
+                num_frames=num_frames,
+                name="localization_fpn",
+            )(feats)
         loc_feats, semantic_feats = loc_out[0], loc_out[1]
 
         for i in range(cfg.num_loc_convs):
