@@ -207,3 +207,36 @@ def test_run_sequence_matches_run_frame(video_setup):
         np.testing.assert_array_equal(a.panoptic_seg, b.panoptic_seg)
         np.testing.assert_array_equal(a.track_map, b.track_map)
         np.testing.assert_array_equal(a.semantic_map, b.semantic_map)
+
+
+def test_multi_stream_pipeline_matches_single(video_setup):
+    """B-stream batched serving pipeline == B independent single-stream runs."""
+    from video_knet_tpu.models.video.inference import MultiStreamVPSPipeline
+
+    cfg, model, variables, img = video_setup
+    infer_model = VideoKNet(cfg, train=False)
+    rng = np.random.RandomState(7)
+    fa = [rng.randn(1, 64, 96, 3).astype(np.float32) for _ in range(3)]
+    fb = [rng.randn(1, 64, 96, 3).astype(np.float32) for _ in range(3)]
+
+    ref = []
+    for stream_frames in (fa, fb):
+        pipe = VPSInferencePipeline(infer_model, variables, cfg, out_hw=(64, 96))
+        ref.append([
+            pipe.run_frame(jnp.asarray(f), is_first=(i == 0))
+            for i, f in enumerate(stream_frames)
+        ])
+
+    ms = MultiStreamVPSPipeline(
+        infer_model, variables, cfg, out_hw=(64, 96), n_streams=2
+    )
+    for t in range(3):
+        imgs = jnp.asarray(np.concatenate([fa[t], fb[t]], axis=0))
+        results = ms.run_frames(imgs, [t == 0, t == 0])
+        for s in range(2):
+            np.testing.assert_array_equal(
+                results[s].panoptic_seg, ref[s][t].panoptic_seg, err_msg=f"s{s} t{t}"
+            )
+            np.testing.assert_array_equal(
+                results[s].track_map, ref[s][t].track_map, err_msg=f"s{s} t{t}"
+            )

@@ -76,11 +76,22 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     n = 0
     t0 = time.time()
-    for sample, is_first in ds.iter_test():
-        rgb = load_png(sample.img)
-        ori_hw = rgb.shape[:2]
-        x, (ch, cw) = keep_ratio_resize_pad(rgb, (h, w))
-        res = pipe.run_frame(jnp.asarray(x)[None], is_first=is_first)
+    pairs = list(ds.iter_test())
+    if args.max_frames is not None:
+        pairs = pairs[: args.max_frames]
+    flags = [f for _, f in pairs]
+    meta: list = []
+
+    def frames():
+        for sample, _ in pairs:
+            rgb = load_png(sample.img)
+            x, content = keep_ratio_resize_pad(rgb, (h, w))
+            meta.append((rgb.shape[:2], content))
+            yield jnp.asarray(x)[None]
+
+    for i, res in enumerate(pipe.run_sequence(frames(), flags)):
+        sample = pairs[i][0]
+        ori_hw, (ch, cw) = meta[i]
 
         seq_dir = os.path.join(args.out, "panoptic", str(sample.seq_id))
         dep_dir = os.path.join(args.out, "depth", str(sample.seq_id))
@@ -103,8 +114,6 @@ def main():
             save_png(os.path.join(dep_dir, stem + ".png"),
                      (depth_pred * 256.0).astype(np.uint16))
         n += 1
-        if args.max_frames is not None and n >= args.max_frames:
-            break
         if n % 50 == 0:
             print(f"{n} frames, {n / (time.time() - t0):.2f} fps")
     print(f"done: {n} frames in {time.time() - t0:.1f}s -> {args.out}")

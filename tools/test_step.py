@@ -81,13 +81,24 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     n = 0
     t0 = time.time()
-    for sample, is_first in ds.iter_test():
-        rgb = load_png(sample.img)
-        ori_hw = rgb.shape[:2]
-        # keep-ratio resize into the static canvas (reference test pipeline:
-        # keep_ratio Resize + Pad), crop predictions back to content below
-        x, (ch, cw) = keep_ratio_resize_pad(rgb, (h, w))
-        res = pipe.run_frame(jnp.asarray(x)[None], is_first=is_first)
+    pairs = list(ds.iter_test())
+    flags = [f for _, f in pairs]
+    meta: list = []
+
+    def frames():
+        for sample, _ in pairs:
+            rgb = load_png(sample.img)
+            # keep-ratio resize into the static canvas (reference test
+            # pipeline: keep_ratio Resize + Pad); crop back to content below
+            x, content = keep_ratio_resize_pad(rgb, (h, w))
+            meta.append((rgb.shape[:2], content))
+            yield jnp.asarray(x)[None]
+
+    # windowed pipelined inference: device steps for the next frames overlap
+    # the host-side tracking/PNG writing of the previous ones
+    for i, res in enumerate(pipe.run_sequence(frames(), flags)):
+        sample = pairs[i][0]
+        ori_hw, (ch, cw) = meta[i]
 
         seq_dir = os.path.join(args.out, "panoptic", str(sample.seq_id))
         final_dir = os.path.join(args.out, "final", str(sample.seq_id))

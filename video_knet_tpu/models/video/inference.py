@@ -65,6 +65,7 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
         semantic_thing = sem_label < cfg.num_thing_classes
         if compact_host:
             res = pred.result
+            emb = out["track_embeds"] if batched else out["track_embeds"][0]
             return dict(
                 pan=res.panoptic_seg.astype(jnp.int16),  # ids < 2^15 always
                 keep=res.keep, seg_ids=res.seg_ids.astype(jnp.int16),
@@ -72,7 +73,10 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
                 isthing=res.isthing, areas=res.areas,
                 instance_idx=res.instance_idx.astype(jnp.int16),
                 thing_mask_idx=pred.thing_mask_idx.astype(jnp.int16),
-                embeds=out["track_embeds"][0].astype(jnp.float32),
+                # bf16 on the wire: halves the largest remaining payload; the
+                # host re-floats and the ~0.4% dot-product noise is far below
+                # the tracker's match thresholds
+                embeds=emb.astype(jnp.bfloat16),
                 semantic_thing=semantic_thing,
                 new_obj_feats=out["new_obj_feats"],
             )
@@ -146,13 +150,16 @@ class VPSInferencePipeline:
 
     def __init__(self, model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
                  thing_ids_in_orig=KITTI_STEP_THING_IDS,
-                 tracker_type: str = "quasi_dense"):
+                 tracker_type: str = "quasi_dense", step_fn=None):
         self.cfg = cfg
         self.out_hw = out_hw
         # compact payload: id maps cross to the host at merge resolution and
-        # are nearest-upsampled there (identical labels; ~25x fewer bytes)
-        self.step = make_frame_step(model, variables, cfg, out_hw,
-                                    compact_host=True)
+        # are nearest-upsampled there (identical labels; ~25x fewer bytes).
+        # step_fn lets MultiStreamVPSPipeline share ONE jitted batched step
+        # across its per-stream host states.
+        self.step = step_fn if step_fn is not None else make_frame_step(
+            model, variables, cfg, out_hw, compact_host=True
+        )
         self.thing_ids_in_orig = thing_ids_in_orig
         self.tracker_type = tracker_type
         n_tot = cfg.num_proposals + cfg.num_stuff_classes
@@ -312,3 +319,81 @@ class VPSInferencePipeline:
         return VPSResult(pan, segments_info, sem, track_map)
 
 
+
+class MultiStreamVPSPipeline:
+    """Online VPS over B independent video streams with ONE batched device step.
+
+    The serving configuration: frame t of every stream runs in one jitted call
+    (batched backbone/heads/decode), per-stream trackers run on host. Streams
+    reset independently via the per-stream `is_first` flags — first-frame rows
+    zero their carried kernels inside the device step.
+    """
+
+    def __init__(self, model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
+                 n_streams: int, thing_ids_in_orig=KITTI_STEP_THING_IDS,
+                 tracker_type: str = "quasi_dense"):
+        self.cfg = cfg
+        self.n = n_streams
+        self.step = make_frame_step(model, variables, cfg, out_hw,
+                                    batched=True, compact_host=True)
+        # per-stream host state (tracker, frame counter) shares the one step
+        self.streams = [
+            VPSInferencePipeline(
+                model, variables, cfg, out_hw,
+                thing_ids_in_orig=thing_ids_in_orig,
+                tracker_type=tracker_type, step_fn=self.step,
+            )
+            for _ in range(n_streams)
+        ]
+        n_tot = cfg.num_proposals + cfg.num_stuff_classes
+        k = cfg.head.conv_kernel_size**2
+        self.prev_obj = jnp.zeros(
+            (n_streams, n_tot, k, cfg.head.in_channels), jnp.float32
+        )
+
+    @staticmethod
+    def _slice(host: dict, i: int) -> dict:
+        return {k: v[i] for k, v in host.items()}
+
+    def _finish_round(self, host: dict, flags) -> list[VPSResult]:
+        results = []
+        for i in range(self.n):
+            if flags[i]:
+                self.streams[i].tracker = self.streams[i]._make_tracker()
+                self.streams[i].frame_id = 0
+            results.append(self.streams[i]._finish_frame(self._slice(host, i)))
+        return results
+
+    def run_frames(self, imgs, is_first_flags) -> list[VPSResult]:
+        """imgs: [B, H, W, 3]; is_first_flags: [B] bools. One result per stream."""
+        flags = np.asarray(is_first_flags, bool)
+        out = self.step(imgs, self.prev_obj, jnp.asarray(flags))
+        self.prev_obj = out["new_obj_feats"]
+        host = jax.device_get(
+            {k: v for k, v in out.items() if k != "new_obj_feats"}
+        )
+        return self._finish_round(host, flags)
+
+    def run_batched_sequence(self, rounds, flags_per_round=None):
+        """Pipelined serving loop: `rounds` yields [B, H, W, 3] frame batches.
+
+        Yields a list of B VPSResults per round. Round t+1's device step is
+        enqueued before round t's payload is fetched, overlapping host tracking
+        with device compute (same double-buffering as run_sequence)."""
+        pending = None  # (payload, flags)
+        for t, imgs in enumerate(rounds):
+            flags = (
+                np.full((self.n,), t == 0, bool)
+                if flags_per_round is None
+                else np.asarray(flags_per_round[t], bool)
+            )
+            out = self.step(imgs, self.prev_obj, jnp.asarray(flags))
+            self.prev_obj = out["new_obj_feats"]
+            cur = ({k: v for k, v in out.items() if k != "new_obj_feats"}, flags)
+            if pending is not None:
+                payload, pflags = pending
+                yield self._finish_round(jax.device_get(payload), pflags)
+            pending = cur
+        if pending is not None:
+            payload, pflags = pending
+            yield self._finish_round(jax.device_get(payload), pflags)

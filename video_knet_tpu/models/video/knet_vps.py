@@ -217,13 +217,21 @@ class VideoKNet(nn.Module):
 
         Always runs the linking branch (prev_obj_feats = zeros on first frame);
         `is_first` selects unlinked kernels for tracking, matching
-        kernel_iter_head.py:479-480.
+        kernel_iter_head.py:479-480. `is_first` may be a scalar or a [B]
+        per-stream vector (multi-stream serving: each stream resets
+        independently; first-frame rows also zero their carried kernels).
         """
         cfg = self.cfg
+        isf = jnp.asarray(is_first)
+        if isf.ndim == 1:
+            isf = isf[:, None, None, None]
+            prev_obj_feats = jnp.where(
+                isf, jnp.zeros_like(prev_obj_feats), prev_obj_feats
+            )
         key = self.run_branch(img, prev_obj_feats if cfg.link_previous else None)
         last = key.stage_outs[-1]
         track_src = last.object_feats if key.obj_feats_track is None else jnp.where(
-            is_first, last.object_feats, key.obj_feats_track
+            isf, last.object_feats, key.obj_feats_track
         )
         if cfg.track_head_type == "roi_gt_box":
             # test-time ROI embeddings at predicted-mask boxes

@@ -41,17 +41,36 @@ def evaluate_vps(
         things[t] = True
 
     ann_mode = getattr(dataset, "ann_mode", "kitti_rgb")
-    n = 0
+    # collect scoreable frames up front (windowed run_sequence wants the flag
+    # list); a skipped ann-less sequence HEAD propagates its reset to the next
+    # kept frame of that sequence
+    kept, flags = [], []
+    pending_first = False
     for sample, is_first in dataset.iter_test():
+        pending_first = pending_first or is_first
         if sample.ann is None:
             continue
-        rgb = load_png(sample.img)
-        ori_hw = rgb.shape[:2]
-        # keep-ratio resize + pad (the reference's test pipeline), then crop
-        # predictions back to the content region before rescaling
-        x, content_hw = keep_ratio_resize_pad(rgb, size_hw)
-        res = pipeline.run_frame(jnp.asarray(x)[None], is_first=is_first)
-        ch, cw = content_hw
+        kept.append(sample)
+        flags.append(pending_first)
+        pending_first = False
+        if max_frames is not None and len(kept) >= max_frames:
+            break
+
+    meta: list = []
+
+    def frames():
+        for sample in kept:
+            rgb = load_png(sample.img)
+            # keep-ratio resize + pad (the reference's test pipeline), then
+            # crop predictions back to the content region before rescaling
+            x, content_hw = keep_ratio_resize_pad(rgb, size_hw)
+            meta.append((rgb.shape[:2], content_hw))
+            yield jnp.asarray(x)[None]
+
+    n = 0
+    for i, res in enumerate(pipeline.run_sequence(frames(), flags)):
+        sample = kept[i]
+        ori_hw, (ch, cw) = meta[i]
         sem = nearest_resize(
             res.semantic_map.astype(np.int64)[:ch, :cw], ori_hw)
         trk = nearest_resize(
@@ -66,8 +85,6 @@ def evaluate_vps(
             sequence_id=sample.seq_id,
         )
         n += 1
-        if max_frames is not None and n >= max_frames:
-            break
 
     out = vpq_from_stats(stats, num_classes=num_classes, things_index=things)
     r = stq.result()
