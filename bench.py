@@ -1,16 +1,17 @@
 """Benchmark: Video K-Net VPS (R-50) on one chip — inference AND training.
 
 Emits ONE JSON line. The headline metric is the *end-to-end* online VPS
-throughput at KITTI-STEP resolution (384 x 1248): `VPSInferencePipeline.run_frame`
-including the host-side tracker, panoptic `segments_to_host`, semantic-map and
-track-map construction — i.e. frames/sec a user actually gets, not just the
-jitted device step. Subsidiary numbers ride in "extra":
+throughput at KITTI-STEP resolution (384 x 1248): `run_sequence` including the
+host-side tracker, panoptic `segments_to_host`, semantic-map and track-map
+construction — i.e. frames/sec a user actually gets, not just the jitted
+device step. Subsidiary numbers ride in "extra":
 
-  device_step_fps   — the jitted per-frame device function alone (r01's metric)
-  multi_stream_fps  — batched 8-stream offline decode throughput (device step)
-  train_step_s      — steady-state VPS train step (b1 @ 384x1248, fp32 params)
-  train_flops       — XLA cost-analysis FLOPs of that compiled train step
-  train_mfu         — train_flops / (train_step_s * chip peak bf16 FLOP/s)
+  device_step_fps         — the jitted per-frame device function alone
+  multi_stream_device_fps — batched 8-stream device step throughput
+  multi_stream_e2e_fps    — 8-stream serving incl. per-stream host trackers
+  train_step_s            — steady-state VPS train step (b1, fp32 params)
+  train_flops             — XLA cost-analysis FLOPs of that compiled step
+  train_mfu               — train_flops / (train_step_s * chip bf16 peak)
 
 `vs_baseline` divides the headline e2e fps by a 10-fps V100 estimate for this
 model class (the reference publishes no throughput; SURVEY.md §6 — the torch
