@@ -168,3 +168,71 @@ def test_l2_aux_hard_mining_caps_negatives():
     neg_errs = np.sort(err[tgt == 0].ravel())[::-1][:3]
     ref = (err[tgt == 1].sum() + neg_errs.sum()) / 4
     assert np.allclose(ours, ref, rtol=1e-4)
+
+
+def test_gathered_stage_loss_equals_dense():
+    """The gathered-row mask/dice/rank stage losses must equal the dense
+    all-rows formulation (both are weighted means over the same pairs)."""
+    import dataclasses
+
+    from video_knet_tpu.config import KNetConfig
+    from video_knet_tpu.models.kernel_iter_head import StageOutput
+    from video_knet_tpu.models.knet import _rank_loss_batched, stage_loss
+    from video_knet_tpu.ops import losses as L
+    from video_knet_tpu.ops.targets import (
+        PanopticGT,
+        build_rank_target,
+        build_stage_targets,
+    )
+
+    cfg = KNetConfig(max_insts=4, num_proposals=10)
+    rng = np.random.RandomState(0)
+    b, n_prop, s, h, w = 2, 10, cfg.num_stuff_classes, 16, 24
+    n_tot = n_prop + s
+    g = cfg.max_insts
+    gt = PanopticGT(
+        masks=jnp.asarray((rng.rand(b, g, h, w) > 0.6).astype(np.float32)),
+        labels=jnp.asarray(rng.randint(0, 2, (b, g)).astype(np.int32)),
+        valid=jnp.asarray([[True, True, False, False], [True, True, True, False]]),
+        instance_ids=jnp.asarray(rng.randint(0, 9, (b, g)).astype(np.int32)),
+        sem_masks=jnp.asarray((rng.rand(b, s, h, w) > 0.8).astype(np.float32)),
+        sem_valid=jnp.asarray(rng.rand(b, s) > 0.5),
+    )
+    # a plausible one-to-one assignment: gt 0 -> row 3, gt 1 -> row 7, ...
+    gp = -np.ones((b, n_prop), np.int32)
+    gp[0, 3], gp[0, 7] = 0, 1
+    gp[1, 2], gp[1, 5], gp[1, 9] = 0, 1, 2
+    gt_of_pred = jnp.asarray(gp)
+    out = StageOutput(
+        cls_score=jnp.asarray(rng.randn(b, n_tot, cfg.num_classes).astype(np.float32)),
+        mask_preds=None,
+        scaled_mask_preds=jnp.asarray(rng.randn(b, n_tot, h, w).astype(np.float32)),
+        object_feats=None,
+    )
+    got = stage_loss(out, gt_of_pred, gt, cfg, "s0")
+
+    # dense reference (the pre-refactor formulation)
+    tgt = build_stage_targets(
+        gt_of_pred, gt,
+        num_thing_classes=cfg.num_thing_classes,
+        num_stuff_classes=cfg.num_stuff_classes,
+    )
+    hcfg = cfg.head
+    sm = out.scaled_mask_preds
+    flat = lambda x: x.reshape(b * n_tot, *x.shape[2:])
+    want_mask = L.binary_cross_entropy(
+        flat(sm), flat(tgt.mask_targets), tgt.mask_weights.reshape(-1),
+        loss_weight=hcfg.loss_mask_weight,
+    )
+    want_dice = L.dice_loss(
+        flat(sm), flat(tgt.mask_targets), tgt.mask_weights.reshape(-1),
+        loss_weight=hcfg.loss_dice_weight,
+    )
+    np.testing.assert_allclose(float(got["s0_loss_mask"]), float(want_mask), rtol=1e-5)
+    np.testing.assert_allclose(float(got["s0_loss_dice"]), float(want_dice), rtol=1e-5)
+    if hcfg.loss_rank_weight > 0:
+        rank_t = build_rank_target(tgt.mask_targets, tgt.mask_weights, ignore_label=255)
+        want_rank = _rank_loss_batched(sm, rank_t, hcfg.loss_rank_weight)
+        np.testing.assert_allclose(
+            float(got["s0_loss_rank"]), float(want_rank), rtol=1e-5
+        )

@@ -125,3 +125,15 @@ def test_upernet_align_rpn_forward():
     rpn_out, stage_outs = model.apply(variables, x, mutable=False)
     assert rpn_out.seg_preds.shape[-1] == cfg.num_classes
     assert np.all(np.isfinite(np.asarray(stage_outs[-1].cls_score)))
+
+
+def test_aligned_module_v2():
+    from video_knet_tpu.models.sfnet import AlignedModuleV2PoolingAtten
+
+    m = AlignedModuleV2PoolingAtten(8)
+    low = jnp.asarray(np.random.RandomState(0).randn(1, 16, 24, 16), jnp.float32)
+    high = jnp.asarray(np.random.RandomState(1).randn(1, 8, 12, 16), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), low, high)
+    y = m.apply(v, low, high)
+    assert y.shape == (1, 16, 24, 16)
+    assert np.all(np.isfinite(np.asarray(y)))

@@ -20,12 +20,7 @@ from video_knet_tpu.models.resnet import FPN
 import video_knet_tpu.ops.hungarian as hung
 from video_knet_tpu.ops import losses as L
 from video_knet_tpu.ops.panoptic import PanopticResult, merge_joint
-from video_knet_tpu.ops.targets import (
-    PanopticGT,
-    build_rank_target,
-    build_rpn_targets,
-    build_stage_targets,
-)
+from video_knet_tpu.ops.targets import PanopticGT
 from video_knet_tpu.models.layers import resize_mask_bilinear
 
 Array = jax.Array
@@ -174,24 +169,43 @@ def rpn_loss(rpn_out: RPNOutputs, gt: PanopticGT, cfg: KNetConfig,
     scaled = upscale_masks(rpn_out.thing_mask_preds, r.feat_downsample_stride)
     if gt_of_pred is None:
         gt_of_pred = _batched_assign(scaled, None, gt, cfg)
-    tgt = build_rpn_targets(
-        gt_of_pred, gt, num_thing_classes=cfg.num_thing_classes, num_classes=c
+    # mask/dice on GATHERED matched rows (see stage_loss): identical weighted
+    # means, none of the [B, N, H, W] target materialization
+    from video_knet_tpu.ops.targets import (
+        build_rank_target_gathered,
+        build_semantic_map,
+        pred_of_gt_from,
     )
-    b, n = tgt.labels.shape
-    flat_masks = scaled.reshape(b * n, *scaled.shape[-2:])
-    flat_targets = tgt.mask_targets.reshape(b * n, *scaled.shape[-2:])
-    flat_w = tgt.mask_weights.reshape(b * n)
+
+    b = gt_of_pred.shape[0]
+    g = gt.masks.shape[1]
+    p2g = pred_of_gt_from(gt_of_pred, g)
+    matched = p2g >= 0
+    safe = jnp.maximum(p2g, 0)
+    rows_pred = jnp.take_along_axis(scaled, safe[..., None, None], axis=1)
+    rows_w = matched.astype(jnp.float32)
     losses = {
         "loss_rpn_mask": L.binary_cross_entropy(
-            flat_masks, flat_targets, flat_w, loss_weight=r.loss_mask_weight
+            rows_pred.reshape(b * g, *scaled.shape[-2:]),
+            gt.masks.reshape(b * g, *scaled.shape[-2:]),
+            rows_w.reshape(b * g),
+            loss_weight=r.loss_mask_weight,
         ),
         "loss_rpn_dice": L.dice_loss(
-            flat_masks, flat_targets, flat_w, loss_weight=r.loss_dice_weight
+            rows_pred.reshape(b * g, *scaled.shape[-2:]),
+            gt.masks.reshape(b * g, *scaled.shape[-2:]),
+            rows_w.reshape(b * g),
+            loss_weight=r.loss_dice_weight,
         ),
     }
     if r.loss_rank_weight > 0:
-        rank_t = build_rank_target(tgt.mask_targets, tgt.mask_weights, ignore_label=255)
+        rank_t = build_rank_target_gathered(
+            gt.masks, rows_w, safe, ignore_label=255
+        )
         losses["loss_rpn_rank"] = _rank_loss_batched(scaled, rank_t, r.loss_rank_weight)
+    seg_targets = build_semantic_map(
+        gt, num_thing_classes=cfg.num_thing_classes, num_classes=c
+    )
     # semantic seg loss on the scaled seg logits
     seg_scaled = jax.image.resize(
         rpn_out.seg_preds,
@@ -206,7 +220,7 @@ def rpn_loss(rpn_out: RPNOutputs, gt: PanopticGT, cfg: KNetConfig,
     if r.seg_use_sigmoid:
         # focal seg loss averaged by #pixels with a real class (kernel_head.py:404-418)
         flat_seg = seg_scaled.reshape(-1, c)
-        flat_t = tgt.seg_targets.reshape(-1)
+        flat_t = seg_targets.reshape(-1)
         num_dense_pos = jnp.maximum(jnp.sum((flat_t < c).astype(jnp.float32)), 1.0)
         losses["loss_rpn_seg"] = L.sigmoid_focal_loss(
             flat_seg, flat_t, num_classes=c,
@@ -214,7 +228,7 @@ def rpn_loss(rpn_out: RPNOutputs, gt: PanopticGT, cfg: KNetConfig,
         )
     else:
         losses["loss_rpn_seg"] = L.softmax_cross_entropy(
-            seg_scaled, tgt.seg_targets, ignore_index=c, loss_weight=r.loss_seg_weight
+            seg_scaled, seg_targets, ignore_index=c, loss_weight=r.loss_seg_weight
         )
     return losses
 
@@ -232,21 +246,34 @@ def stage_loss(
     cfg: KNetConfig,
     prefix: str,
 ) -> dict[str, Array]:
-    """One KernelUpdateHead stage loss (kernel_update_head.py:279-349)."""
+    """One KernelUpdateHead stage loss (kernel_update_head.py:279-349).
+
+    Mask/dice run on GATHERED rows — the G matched thing predictions plus the
+    S stuff rows — instead of all N_tot proposals with zero weights: both
+    losses are weighted means, so the value is identical while the [B, N_tot,
+    H, W] target materialization and ~5x of the HBM traffic disappear."""
+    from video_knet_tpu.ops.targets import (
+        build_rank_target_gathered,
+        build_stage_label_targets,
+        pred_of_gt_from,
+    )
+
     h = cfg.head
     c = cfg.num_classes
-    tgt = build_stage_targets(
+    s = cfg.num_stuff_classes
+    labels, label_weights, num_pos = build_stage_label_targets(
         gt_of_pred, gt,
         num_thing_classes=cfg.num_thing_classes,
         num_stuff_classes=cfg.num_stuff_classes,
     )
-    b, n_tot = tgt.labels.shape
-    avg = jnp.maximum(tgt.num_pos, 1.0)
+    b, n_tot = labels.shape
+    n_prop = n_tot - s
+    avg = jnp.maximum(num_pos, 1.0)
     losses = {
         f"{prefix}_loss_cls": L.sigmoid_focal_loss(
             out.cls_score.reshape(b * n_tot, c),
-            tgt.labels.reshape(b * n_tot),
-            tgt.label_weights.reshape(b * n_tot, c),
+            labels.reshape(b * n_tot),
+            label_weights.reshape(b * n_tot, c),
             num_classes=c,
             gamma=h.focal_gamma,
             alpha=h.focal_alpha,
@@ -255,17 +282,41 @@ def stage_loss(
         )
     }
     sm = out.scaled_mask_preds
-    flat_masks = sm.reshape(b * n_tot, *sm.shape[-2:])
-    flat_t = tgt.mask_targets.reshape(b * n_tot, *sm.shape[-2:])
-    flat_w = tgt.mask_weights.reshape(b * n_tot)
+    g = gt.masks.shape[1]
+    p2g = pred_of_gt_from(gt_of_pred[:, :n_prop], g)  # [B, G] thing row per slot
+    matched = p2g >= 0
+    safe = jnp.maximum(p2g, 0)
+    thing_pred = jnp.take_along_axis(
+        sm[:, :n_prop], safe[..., None, None], axis=1
+    )  # [B, G, H, W]
+    rows_pred = jnp.concatenate([thing_pred, sm[:, n_prop:]], axis=1)
+    rows_t = jnp.concatenate([gt.masks, gt.sem_masks], axis=1)
+    rows_w = jnp.concatenate(
+        [matched.astype(jnp.float32), gt.sem_valid.astype(jnp.float32)], axis=1
+    )
+    r = g + s
     losses[f"{prefix}_loss_mask"] = L.binary_cross_entropy(
-        flat_masks, flat_t, flat_w, loss_weight=h.loss_mask_weight
+        rows_pred.reshape(b * r, *sm.shape[-2:]),
+        rows_t.reshape(b * r, *sm.shape[-2:]),
+        rows_w.reshape(b * r),
+        loss_weight=h.loss_mask_weight,
     )
     losses[f"{prefix}_loss_dice"] = L.dice_loss(
-        flat_masks, flat_t, flat_w, loss_weight=h.loss_dice_weight
+        rows_pred.reshape(b * r, *sm.shape[-2:]),
+        rows_t.reshape(b * r, *sm.shape[-2:]),
+        rows_w.reshape(b * r),
+        loss_weight=h.loss_dice_weight,
     )
     if h.loss_rank_weight > 0:
-        rank_t = build_rank_target(tgt.mask_targets, tgt.mask_weights, ignore_label=255)
+        orig_idx = jnp.concatenate(
+            [safe, jnp.broadcast_to(
+                n_prop + jnp.arange(s, dtype=jnp.int32)[None], (b, s)
+            )],
+            axis=1,
+        )
+        rank_t = build_rank_target_gathered(
+            rows_t, rows_w, orig_idx, ignore_label=255
+        )
         losses[f"{prefix}_loss_rank"] = _rank_loss_batched(sm, rank_t, h.loss_rank_weight)
     return losses
 

@@ -83,6 +83,47 @@ class AlignedModule(nn.Module):
         return grid_sample_bilinear(high, gx, gy)
 
 
+class AlignedModuleV2PoolingAtten(nn.Module):
+    """v2 alignment (semantic_fpn_wrapper.py:357-410): two flows (one per
+    direction), both features warped onto the fine grid, fused by a spatial
+    gate over channel mean/max statistics."""
+
+    outplane: int
+
+    @nn.compact
+    def __call__(self, low: Array, high: Array) -> Array:
+        hh, ww = low.shape[1:3]
+        l = nn.Conv(self.outplane, (1, 1), use_bias=False, name="down_l")(low)
+        g = nn.Conv(self.outplane, (1, 1), use_bias=False, name="down_h")(high)
+        g = jax.image.resize(g, (g.shape[0], hh, ww, g.shape[-1]), "bilinear")
+        flow = nn.Conv(4, (3, 3), padding="SAME", use_bias=False,
+                       name="flow_make")(jnp.concatenate([g, l], axis=-1))
+        gy0, gx0 = jnp.meshgrid(
+            jnp.linspace(-1.0, 1.0, hh), jnp.linspace(-1.0, 1.0, ww),
+            indexing="ij",
+        )
+        warp_h = grid_sample_bilinear(
+            high, gx0[None] + flow[..., 0] / ww, gy0[None] + flow[..., 1] / hh
+        )
+        warp_l = grid_sample_bilinear(
+            low, gx0[None] + flow[..., 2] / ww, gy0[None] + flow[..., 3] / hh
+        )
+        stats = jnp.concatenate(
+            [
+                jnp.mean(g, axis=-1, keepdims=True),
+                jnp.mean(low, axis=-1, keepdims=True),
+                jnp.max(g, axis=-1, keepdims=True),
+                jnp.max(low, axis=-1, keepdims=True),
+            ],
+            axis=-1,
+        )
+        gate = jax.nn.sigmoid(
+            nn.Conv(1, (3, 3), padding="SAME", use_bias=False,
+                    name="flow_gate")(stats)
+        )
+        return warp_h * gate + warp_l * (1.0 - gate)
+
+
 class UperNetAlignHead(nn.Module):
     """Aligned top-down head (semantic_fpn_wrapper.py:239-318).
 
@@ -93,6 +134,7 @@ class UperNetAlignHead(nn.Module):
     out_channels: int = 256
     num_aux_convs: int = 1
     with_positional_encoding: bool = True
+    align_type: str = "v1"  # 'v1' | 'v2' (pooling-attention gate)
 
     @nn.compact
     def __call__(self, feats: Sequence[Array]) -> list[Array]:
@@ -107,8 +149,12 @@ class UperNetAlignHead(nn.Module):
                     nn.Conv(self.out_channels, (1, 1), name=f"fpn_in{i}")(feats[i])
                 )
             )
-            warped = AlignedModule(self.out_channels // 2,
-                                   name=f"align{i}")(lateral, f)
+            align_cls = (
+                AlignedModule if self.align_type == "v1"
+                else AlignedModuleV2PoolingAtten
+            )
+            warped = align_cls(self.out_channels // 2,
+                               name=f"align{i}")(lateral, f)
             f = lateral + warped
             pyramid.append(
                 nn.BatchNorm(use_running_average=True, momentum=0.9,

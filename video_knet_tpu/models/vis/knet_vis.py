@@ -178,19 +178,19 @@ def _tube_assign(
 def _tube_stage_loss(
     out: ClipStageOutput, gt_of_pred: Array, gt: ClipGT, cfg: VISConfig, prefix: str
 ) -> dict[str, Array]:
+    """Tube cls/mask/dice. The mask losses run on GATHERED matched rows
+    ([B, G, T*H*W] instead of [B, N, T*H*W] with zero weights) — identical
+    weighted means, ~N/G times less HBM traffic and no [B, N, T, H, W]
+    target materialization (see models/knet.py:stage_loss)."""
+    from video_knet_tpu.ops.targets import pred_of_gt_from
+
     h = cfg.head
     c = cfg.num_classes
     b, t, n = out.scaled_mask_preds.shape[:3]
     matched = gt_of_pred >= 0
     safe = jnp.maximum(gt_of_pred, 0)
     labels = jnp.where(matched, jnp.take_along_axis(gt.labels, safe, axis=1), c)
-    tube_targets = jnp.where(
-        matched[..., None, None, None],
-        jnp.take_along_axis(gt.masks, safe[..., None, None, None], axis=1),
-        0.0,
-    )  # [B, N, T, H, W]
-    mask_w = matched.astype(jnp.float32)
-    num_pos = jnp.maximum(jnp.sum(mask_w), 1.0)
+    num_pos = jnp.maximum(jnp.sum(matched.astype(jnp.float32)), 1.0)
 
     losses = {}
     if out.cls_score is not None:
@@ -203,10 +203,17 @@ def _tube_stage_loss(
             loss_weight=h.loss_cls_weight,
             avg_factor=num_pos,
         )
+    g = gt.masks.shape[1]
+    p2g = pred_of_gt_from(gt_of_pred, g)  # [B, G]
+    g_matched = p2g >= 0
+    g_safe = jnp.maximum(p2g, 0)
     pred_tubes = jnp.transpose(out.scaled_mask_preds, (0, 2, 1, 3, 4))  # [B, N, T, H, W]
-    flat_pred = pred_tubes.reshape(b * n, -1)
-    flat_tgt = tube_targets.reshape(b * n, -1)
-    flat_w = mask_w.reshape(b * n)
+    rows_pred = jnp.take_along_axis(
+        pred_tubes, g_safe[..., None, None, None], axis=1
+    )  # [B, G, T, H, W]
+    flat_pred = rows_pred.reshape(b * g, -1)
+    flat_tgt = gt.masks.reshape(b * g, -1)
+    flat_w = g_matched.astype(jnp.float32).reshape(b * g)
     losses[f"{prefix}_loss_mask"] = L.binary_cross_entropy(
         flat_pred, flat_tgt, flat_w, loss_weight=h.loss_mask_weight
     )
@@ -230,22 +237,26 @@ def volume_rpn_loss(vol, gt: ClipGT, cfg: VISConfig) -> dict[str, Array]:
     scaled = scaled_f.reshape(b, t, n, *scaled_f.shape[-2:])
     gt_of_pred = _tube_assign(scaled, None, gt, cfg)
 
-    matched = gt_of_pred >= 0
-    safe = jnp.maximum(gt_of_pred, 0)
-    tube_targets = jnp.where(
-        matched[..., None, None, None],
-        jnp.take_along_axis(gt.masks, safe[..., None, None, None], axis=1),
-        0.0,
-    )  # [B, N, T, H, W]
-    pred_tubes = jnp.transpose(scaled, (0, 2, 1, 3, 4)).reshape(b * n, -1)
-    flat_tgt = tube_targets.reshape(b * n, -1)
-    flat_w = matched.astype(jnp.float32).reshape(b * n)
+    # gathered matched rows (see _tube_stage_loss)
+    from video_knet_tpu.ops.targets import pred_of_gt_from
+
+    g = gt.masks.shape[1]
+    p2g = pred_of_gt_from(gt_of_pred, g)
+    g_matched = p2g >= 0
+    g_safe = jnp.maximum(p2g, 0)
+    pred_tubes = jnp.transpose(scaled, (0, 2, 1, 3, 4))  # [B, N, T, H, W]
+    rows_pred = jnp.take_along_axis(
+        pred_tubes, g_safe[..., None, None, None], axis=1
+    )
+    flat_pred = rows_pred.reshape(b * g, -1)
+    flat_tgt = gt.masks.reshape(b * g, -1)
+    flat_w = g_matched.astype(jnp.float32).reshape(b * g)
     losses = {
         "loss_rpn_mask": L.binary_cross_entropy(
-            pred_tubes, flat_tgt, flat_w, loss_weight=r.loss_mask_weight
+            flat_pred, flat_tgt, flat_w, loss_weight=r.loss_mask_weight
         ),
         "loss_rpn_dice": L.dice_loss(
-            pred_tubes, flat_tgt, flat_w, loss_weight=r.loss_dice_weight
+            flat_pred, flat_tgt, flat_w, loss_weight=r.loss_dice_weight
         ),
     }
 

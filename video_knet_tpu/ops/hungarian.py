@@ -182,7 +182,9 @@ def mask_cost(
     p = p.reshape(p.shape[0], -1)
     t = t.reshape(t.shape[0], -1)
     pos = jnp.einsum("nh,mh->nm", p, t)
-    neg = jnp.einsum("nh,mh->nm", 1.0 - p, 1.0 - t)
+    # neg = sum (1-p)(1-t) expanded: HW - sum p - sum t + pos — saves the
+    # second [N,HW]x[HW,M] matmul and the (1-p)/(1-t) materializations
+    neg = hw - jnp.sum(p, axis=1)[:, None] - jnp.sum(t, axis=1)[None, :] + pos
     return weight * (-(pos + neg) / hw)
 
 

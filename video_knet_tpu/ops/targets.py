@@ -41,6 +41,79 @@ class StageTargets(NamedTuple):
     num_pos: Array  # scalar: total positive rows in batch (avg_factor for focal)
 
 
+def pred_of_gt_from(gt_of_pred: Array, num_gt: int) -> Array:
+    """Invert a [B, N] gt-of-pred assignment to [B, G] pred-of-gt (-1 unmatched)."""
+    eq = gt_of_pred[:, :, None] == jnp.arange(num_gt)[None, None]  # [B, N, G]
+    has = jnp.any(eq, axis=1)
+    idx = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    return jnp.where(has, idx, -1)
+
+
+def build_stage_label_targets(
+    gt_of_pred: Array,
+    gt: PanopticGT,
+    *,
+    num_thing_classes: int,
+    num_stuff_classes: int,
+) -> tuple[Array, Array, Array]:
+    """The label part of build_stage_targets: (labels [B, N_tot],
+    label_weights [B, N_tot, C], num_pos) — without materializing the
+    [B, N_tot, H, W] mask targets (the mask losses gather matched rows
+    instead; see models/knet.py:stage_loss)."""
+    b, n = gt_of_pred.shape
+    s = num_stuff_classes
+    c = num_thing_classes + num_stuff_classes
+    matched = gt_of_pred >= 0
+    safe_idx = jnp.maximum(gt_of_pred, 0)
+    thing_labels = jnp.where(
+        matched, jnp.take_along_axis(gt.labels, safe_idx, axis=1), c
+    )
+    thing_label_weights = jnp.concatenate(
+        [
+            jnp.ones((b, n, num_thing_classes), jnp.float32),
+            jnp.zeros((b, n, s), jnp.float32),
+        ],
+        axis=-1,
+    )
+    stuff_cls = num_thing_classes + jnp.arange(s, dtype=jnp.int32)
+    stuff_labels = jnp.where(gt.sem_valid, stuff_cls[None], c)
+    eye = jnp.eye(s, dtype=jnp.float32)
+    stuff_label_weights = jnp.broadcast_to(
+        jnp.concatenate(
+            [jnp.zeros((s, num_thing_classes), jnp.float32), eye], axis=-1
+        )[None],
+        (b, s, c),
+    )
+    labels = jnp.concatenate([thing_labels, stuff_labels], axis=1)
+    label_weights = jnp.concatenate(
+        [thing_label_weights, stuff_label_weights], axis=1
+    )
+    num_pos = jnp.sum((labels < c).astype(jnp.float32))
+    return labels, label_weights, num_pos
+
+
+def build_rank_target_gathered(
+    rows_t: Array,  # [B, R, H, W] gathered mask targets
+    rows_w: Array,  # [B, R] weights
+    orig_idx: Array,  # [B, R] original row index of each gathered row
+    *,
+    ignore_label: int = 255,
+) -> Array:
+    """build_rank_target on gathered rows: per pixel, the ORIGINAL row index of
+    the highest-original-index positive row covering it ("later rows
+    overwrite", kernel_update_head.py:327-342) — identical to running
+    build_rank_target on the dense [B, N, H, W] targets."""
+    occupied = (rows_t > 0) & (rows_w[..., None, None] > 0)
+    prio = jnp.where(rows_w > 0, orig_idx + 1, 0)  # [B, R]
+    sel = jnp.argmax(occupied * prio[:, :, None, None], axis=1)  # [B, H, W]
+    any_mask = jnp.any(occupied, axis=1)
+    b = sel.shape[0]
+    label_at = jnp.take_along_axis(
+        orig_idx, sel.reshape(b, -1), axis=1
+    ).reshape(sel.shape)
+    return jnp.where(any_mask, label_at, ignore_label).astype(jnp.int32)
+
+
 def build_stage_targets(
     gt_of_pred: Array,
     gt: PanopticGT,
