@@ -107,3 +107,28 @@ def test_bf16_train_step_matches_fp32():
     assert dtypes == {jnp.dtype(jnp.float32)}, dtypes  # masters + grads stay fp32
     gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_vis_bf16_train_step():
+    import dataclasses
+
+    import optax
+
+    from tests.test_vis import _make_clip_gt, tiny_vis_cfg
+    from video_knet_tpu.models.vis.knet_vis import KNetVIS
+    from video_knet_tpu.train.vis import make_vis_loss_fn
+
+    cfg32 = tiny_vis_cfg()
+    cfg16 = dataclasses.replace(cfg32, bf16_train=True)
+    model = KNetVIS(cfg32, train=True)
+    clip = jnp.zeros((1, 2, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    gt = _make_clip_gt(cfg32, 1, 2, (16, 24))
+    t32, _ = jax.jit(make_vis_loss_fn(model, cfg32))(
+        variables["params"], variables["batch_stats"], clip, gt
+    )
+    t16, _ = jax.jit(make_vis_loss_fn(KNetVIS(cfg16, train=True), cfg16))(
+        variables["params"], variables["batch_stats"], clip, gt
+    )
+    assert np.isfinite(float(t16))
+    assert abs(float(t16) - float(t32)) / float(t32) < 0.05

@@ -25,6 +25,7 @@ class VISConfig:
     backbone_drop_path_rate: float = 0.0  # 0.3 in the swin-b VIS config
     frozen_stages: int = 1
     norm_eval: bool = True
+    bf16_train: bool = False  # bf16 forward/backward, fp32 masters (train/vps.py)
     num_classes: int = 40
     num_proposals: int = 100
     num_frames: int = 5  # clip length at train (whole video at test)

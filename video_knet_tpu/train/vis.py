@@ -15,9 +15,28 @@ from video_knet_tpu.train.train_state import TrainState
 
 
 def make_vis_loss_fn(model: KNetVIS, cfg: VISConfig):
+    """bf16_train: forward/backward in bfloat16 with fp32 master params and
+    fp32 loss math (same contract as train/vps.py)."""
+
     def loss_fn(params, batch_stats, clip, gt: ClipGT):
-        variables = {"params": params, "batch_stats": batch_stats}
-        outs = model.apply(variables, clip, mutable=False)
+        if getattr(cfg, "bf16_train", False):
+            import jax.numpy as jnp
+
+            from video_knet_tpu.utils.precision import cast_variables
+
+            variables = cast_variables(
+                {"params": params, "batch_stats": batch_stats}
+            )
+            clip = clip.astype(jnp.bfloat16)
+            outs = model.apply(variables, clip, mutable=False)
+            outs = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if getattr(x, "dtype", None) == jnp.bfloat16 else x,
+                outs,
+            )
+        else:
+            variables = {"params": params, "batch_stats": batch_stats}
+            outs = model.apply(variables, clip, mutable=False)
         losses = knet_vis_loss(outs, gt, cfg)
         total = sum(losses.values())
         return total, (losses, batch_stats)
