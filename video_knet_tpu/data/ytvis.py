@@ -72,36 +72,47 @@ class YouTubeVISDataset:
         filter_key_img: bool = True,
     ) -> list[int]:
         """Sample clip frame indices: a key frame + refs within frame_range
-        (coco_video_dataset.py:105 ref_img_sampling).
+        (coco_video_dataset.py:105-230 ref_img_sampling).
 
         `uniform` samples refs without replacement from the window (key frame
-        excluded when filter_key_img); `bilateral_uniform` samples half from
-        each side of the key. The reference may return fewer refs than asked
-        when the window is small — we pad with the key frame instead so the
-        clip shape stays static.
+        excluded when filter_key_img); `bilateral_uniform` samples
+        min(num_refs//2, side size) from each side of the key
+        (coco_video_dataset.py:190-202), with the short side's deficit filled
+        from the long side's remaining frames. The reference returns a SHORT
+        ref list near clip boundaries; static shapes force a full clip here,
+        so any remaining deficit is padded with the nearest in-window non-key
+        frames (duplicates), and the key frame repeats only for single-frame
+        videos — never training on key-duplicated clips when real neighbor
+        frames exist.
         """
         v = self.videos[video_idx]
         n = len(v.frames)
         key = int(rng.randint(0, n))
         num_refs = num_frames - 1
+        lo = max(0, key + frame_range[0])
+        hi = min(n - 1, key + frame_range[1])
+        window = [i for i in range(lo, hi + 1)
+                  if not (filter_key_img and i == key)]
         refs: list[int] = []
         if method == "bilateral_uniform":
-            sides = (
-                range(max(0, key + frame_range[0]), key + 1),
-                range(key + 1, min(n, key + frame_range[1] + 1)),
-            )
-            for side in sides:
-                pool = [i for i in side if not (filter_key_img and i == key)]
-                take = min(num_refs // 2, len(pool))
-                refs += [int(i) for i in rng.choice(pool, take, replace=False)]
+            left = [i for i in window if i <= key]
+            right = [i for i in window if i > key]
+            half = num_refs // 2
+            take_left = min(half, len(left))
+            take_right = min(num_refs - take_left, len(right))
+            take_left = min(num_refs - take_right, len(left))
+            refs += [int(i) for i in rng.choice(left, take_left, replace=False)]
+            refs += [int(i) for i in rng.choice(right, take_right, replace=False)]
         else:
-            lo = max(0, key + frame_range[0])
-            hi = min(n - 1, key + frame_range[1])
-            pool = [i for i in range(lo, hi + 1)
-                    if not (filter_key_img and i == key)]
-            take = min(num_refs, len(pool))
-            refs = [int(i) for i in rng.choice(pool, take, replace=False)]
-        refs += [key] * (num_refs - len(refs))  # static-shape padding
+            take = min(num_refs, len(window))
+            refs = [int(i) for i in rng.choice(window, take, replace=False)]
+        if len(refs) < num_refs and window:
+            near = sorted(window, key=lambda i: abs(i - key))
+            k = 0
+            while len(refs) < num_refs:
+                refs.append(int(near[k % len(near)]))
+                k += 1
+        refs += [key] * (num_refs - len(refs))  # single-frame video only
         return [key] + sorted(refs)
 
     def clip_gt_arrays(

@@ -40,6 +40,12 @@ class ConvKernelHead(nn.Module):
         3-D (temporal) positional encoding (SemanticFPNWrapper3D equivalent)."""
         cfg = self.cfg
         if getattr(cfg, "fpn_type", "semantic_fpn") == "upernet_align":
+            if num_frames is not None:
+                raise ValueError(
+                    "fpn_type='upernet_align' has no 3-D temporal positional "
+                    "encoding; clip (VIS, num_frames) inputs require "
+                    "fpn_type='semantic_fpn'"
+                )
             from video_knet_tpu.models.sfnet import UperNetAlignHead
 
             loc_out = UperNetAlignHead(

@@ -23,7 +23,12 @@ _PALLAS_ENABLED = os.environ.get("VKNET_PALLAS", "0") == "1"
 
 
 def set_pallas_enabled(on: bool) -> None:
-    """Toggle the Pallas fused mask-pool path (applies at next trace)."""
+    """Toggle the Pallas fused mask-pool path.
+
+    WARNING: the flag is read at TRACE time and jit caches are NOT keyed on
+    it — any function already jit-compiled (e.g. an existing make_frame_step)
+    silently keeps the path it was traced with. Toggle BEFORE building/jitting
+    step functions, or rebuild them (new jit wrapper) after toggling."""
     global _PALLAS_ENABLED
     _PALLAS_ENABLED = on
 
