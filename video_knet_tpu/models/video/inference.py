@@ -29,6 +29,110 @@ from video_knet_tpu.ops.panoptic import segments_to_host
 KITTI_STEP_THING_IDS = (11, 13)
 
 
+def _track_embed_dim(cfg: VideoKNetConfig) -> int:
+    """Dimensionality of the test-time track embeddings."""
+    if cfg.track_head_type == "query_fuse":
+        return cfg.track.query_fc_out_channels
+    return cfg.track.embed_channels
+
+
+def make_device_tracker_frame_step(
+    model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
+    thing_ids_in_orig=KITTI_STEP_THING_IDS, batched: bool = False,
+):
+    """Per-frame device step with the quasi-dense association ON DEVICE.
+
+    Everything after the forward — panoptic decode, semantic filter, box
+    extraction, bisoftmax association, id allocation, memo update, and the
+    final track/semantic label maps — runs inside one jitted graph; the
+    tracker memory is a device pytree threaded by the caller. The host only
+    nearest-upsamples the three label maps and formats segments_info
+    (north-star requirement; replaces the host `_finish_frame` mask loop).
+
+    step(img, prev_obj_feats, track_state, is_first) ->
+      dict(payload..., new_obj_feats, track_state). Requires fast_decode
+    (the id maps are produced at merge resolution)."""
+    from video_knet_tpu.models.video import device_tracker as dt
+
+    assert cfg.test.fast_decode, "device tracker requires cfg.test.fast_decode"
+    cls_table = jnp.asarray(
+        dt.dataset_class_table(
+            cfg.num_thing_classes, cfg.num_stuff_classes, thing_ids_in_orig
+        )
+    )
+    kth = cfg.test.max_per_img
+
+    def one_stream(pred, emb, semth, st, isf):
+        res = pred.result
+        pan = res.panoptic_seg
+        valid = res.keep[:kth] & res.isthing[:kth]
+        sy = out_hw[0] / pan.shape[0]
+        sx = out_hw[1] / pan.shape[1]
+        boxes5 = dt.thing_detections_from_decode(
+            pan, res.seg_ids[:kth], valid, res.scores[:kth], semth, (sy, sx)
+        )
+        det_emb = emb[pred.thing_mask_idx]  # [kth, D] source-proposal embeds
+        st = dt.reset_state(st, isf)
+        st, ids, survived = dt.tracker_match(
+            st, boxes5, res.labels[:kth], det_emb, valid, cfg.tracker
+        )
+        # host id convention (tracker.match callers): +1, suppressed/-1 -> 0
+        tid = jnp.maximum(ids + 1, 0) * survived.astype(jnp.int32)
+        ktot = res.seg_ids.shape[0]
+        lut_t = jnp.zeros((ktot + 1,), jnp.int32).at[
+            jnp.where(tid > 0, res.seg_ids[:kth], 0)
+        ].set(tid)
+        track_map = lut_t[jnp.clip(pan, 0, ktot)]
+        cls_of = jnp.take(cls_table, res.labels)
+        lut_s = jnp.zeros((ktot + 1,), jnp.int32).at[
+            jnp.where(res.keep, res.seg_ids, 0)
+        ].set(jnp.where(res.keep, cls_of, 0))
+        sem_map = lut_s[jnp.clip(pan, 0, ktot)]
+        payload = dict(
+            pan=pan.astype(jnp.int16),
+            sem=sem_map.astype(jnp.int16),
+            track=track_map,
+            keep=res.keep, seg_ids=res.seg_ids.astype(jnp.int16),
+            labels=res.labels.astype(jnp.int16), scores=res.scores,
+            isthing=res.isthing, areas=res.areas,
+            instance_idx=res.instance_idx.astype(jnp.int16),
+        )
+        return payload, st
+
+    @jax.jit
+    def step(img, prev_obj_feats, track_state, is_first):
+        isf = jnp.asarray(is_first)
+        out = model.apply(
+            variables, img, prev_obj_feats, isf, method=VideoKNet.test_step
+        )
+        pred = vps_decode(
+            out["rpn_out"], out["stage_outs"], out["track_obj_feats"], cfg,
+            None, batched=batched,
+        )
+        seg = out["rpn_out"].seg_preds if batched else out["rpn_out"].seg_preds[0]
+        sem_label = jnp.argmax(seg, axis=-1).astype(jnp.int32)
+        pan_hw = tuple(pred.result.panoptic_seg.shape[-2:])
+        shape = (seg.shape[0], *pan_hw) if batched else pan_hw
+        semantic_thing = (
+            jax.image.resize(sem_label, shape, method="nearest")
+            < cfg.num_thing_classes
+        )
+        if batched:
+            isf_vec = jnp.broadcast_to(isf, (img.shape[0],))
+            payload, st = jax.vmap(one_stream)(
+                pred, out["track_embeds"], semantic_thing, track_state, isf_vec
+            )
+        else:
+            payload, st = one_stream(
+                pred, out["track_embeds"][0], semantic_thing, track_state, isf
+            )
+        payload["new_obj_feats"] = out["new_obj_feats"]
+        payload["track_state"] = st
+        return payload
+
+    return step
+
+
 def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
                     batched: bool = False, compact_host: bool = False):
     """Builds the jitted per-frame device function.
@@ -41,7 +145,12 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
     and strips everything `_finish_frame` doesn't read — the payload drops from
     ~2.8 MB to ~0.1 MB per frame at 384x1248. The host nearest-upsamples the
     final label maps; with fast_decode the device would have nearest-upsampled
-    the very same id map, so the results are identical."""
+    the very same id map, so the id maps are identical. (Caveat: the semantic
+    filter's argmax travels feature-res -> merge-res -> out_hw as two chained
+    nearest resizes instead of one, so a few pixels exactly on stuff/thing
+    boundaries can land differently than the single-resize path.) Only valid
+    with cfg.test.fast_decode — bilinear pre-merge upsampling (fast_decode=
+    False) genuinely changes boundary labels and must decode on device."""
 
     @jax.jit
     def step(img, prev_obj_feats, is_first):
@@ -141,7 +250,11 @@ class VPSInferencePipeline:
     """Carries per-video state; call run_frame for each frame in order.
 
     tracker_type selects the association strategy:
-      'quasi_dense' — the release tracker (QuasiDenseEmbedTracker);
+      'quasi_dense' — the release tracker (QuasiDenseEmbedTracker), run
+                      ON DEVICE inside the jitted frame step (the default
+                      serving path; models/video/device_tracker.py);
+      'quasi_dense_host' — the same tracker on host (numpy oracle path,
+                      models/video/tracker.py);
       'unitrack'    — the K-Net + UniTrack baseline (Kalman + appearance,
                       knet/video/knet_uni_track.py:13);
       'simple' / 'overlap' — the GIoU / mask-IoU greedy matchers
@@ -153,22 +266,40 @@ class VPSInferencePipeline:
                  tracker_type: str = "quasi_dense", step_fn=None):
         self.cfg = cfg
         self.out_hw = out_hw
-        # compact payload: id maps cross to the host at merge resolution and
-        # are nearest-upsampled there (identical labels; ~25x fewer bytes).
-        # step_fn lets MultiStreamVPSPipeline share ONE jitted batched step
-        # across its per-stream host states.
-        self.step = step_fn if step_fn is not None else make_frame_step(
-            model, variables, cfg, out_hw, compact_host=True
-        )
         self.thing_ids_in_orig = thing_ids_in_orig
         self.tracker_type = tracker_type
+        # the device tracker needs the compact/fast decode (id maps at merge
+        # resolution); fall back to the host tracker when fast_decode is off
+        self.device_tracker = (
+            tracker_type == "quasi_dense" and cfg.test.fast_decode
+        )
+        # compact payload: id maps cross to the host at merge resolution and
+        # are nearest-upsampled there (identical labels; ~25x fewer bytes).
+        # Gated on fast_decode: with fast_decode=False the config asks for
+        # bilinear mask upsampling BEFORE the merge (the reference's order,
+        # kernel_iter_head.py:616-655), which the compact path cannot honor —
+        # the full payload (decode at out_hw on device) is used instead.
+        # step_fn lets MultiStreamVPSPipeline share ONE jitted batched step
+        # across its per-stream host states.
+        if step_fn is not None:
+            self.step = step_fn
+        elif self.device_tracker:
+            self.step = make_device_tracker_frame_step(
+                model, variables, cfg, out_hw, thing_ids_in_orig
+            )
+        else:
+            self.step = make_frame_step(
+                model, variables, cfg, out_hw, compact_host=cfg.test.fast_decode
+            )
         n_tot = cfg.num_proposals + cfg.num_stuff_classes
         k = cfg.head.conv_kernel_size**2
         self._zero_obj = jnp.zeros((1, n_tot, k, cfg.head.in_channels), jnp.float32)
         self.reset()
 
     def _make_tracker(self):
-        if self.tracker_type == "quasi_dense":
+        if self.device_tracker:
+            return None  # association state lives on device (track_state)
+        if self.tracker_type in ("quasi_dense", "quasi_dense_host"):
             return QuasiDenseEmbedTracker(self.cfg.tracker)
         if self.tracker_type == "unitrack":
             from video_knet_tpu.models.video.unitrack import MaskAssociationTracker
@@ -189,19 +320,39 @@ class VPSInferencePipeline:
         self.tracker = self._make_tracker()
         self.prev_obj_feats = self._zero_obj
         self.frame_id = 0
+        if self.device_tracker:
+            from video_knet_tpu.models.video.device_tracker import (
+                init_tracker_state,
+            )
+
+            self.track_state = init_tracker_state(
+                self.cfg.tracker, self.cfg.test.max_per_img,
+                _track_embed_dim(self.cfg),
+            )
+
+    def _step(self, img, is_first):
+        """One device step (either tracker path); updates carried state."""
+        if self.device_tracker:
+            out = self.step(
+                img, self.prev_obj_feats, self.track_state, jnp.asarray(is_first)
+            )
+            self.track_state = out["track_state"]
+        else:
+            out = self.step(img, self.prev_obj_feats, jnp.asarray(is_first))
+        self.prev_obj_feats = out["new_obj_feats"]
+        return {
+            k: v for k, v in out.items()
+            if k not in ("new_obj_feats", "track_state")
+        }
 
     def run_frame(self, img: jnp.ndarray, is_first: bool) -> VPSResult:
         if is_first:
             self.reset()
-        out = self.step(img, self.prev_obj_feats, jnp.asarray(is_first))
-        self.prev_obj_feats = out["new_obj_feats"]
-        # ONE device->host transfer for everything the tracker needs (separate
+        payload = self._step(img, is_first)
+        # ONE device->host transfer for everything the host needs (separate
         # np.asarray pulls would pay one device round-trip each — ruinous over
         # the remote-TPU tunnel, and still wasteful over PCIe)
-        host = jax.device_get(
-            {k: v for k, v in out.items() if k != "new_obj_feats"}
-        )
-        return self._finish_frame(host)
+        return self._finish_frame(jax.device_get(payload))
 
     def run_sequence(self, frames, is_first_flags=None, window: int = 8):
         """Pipelined online inference over an iterable of frames.
@@ -231,9 +382,7 @@ class VPSInferencePipeline:
                     buf = []
             if is_first:
                 self.reset()
-            out = self.step(img, self.prev_obj_feats, jnp.asarray(is_first))
-            self.prev_obj_feats = out["new_obj_feats"]
-            buf.append({k: v for k, v in out.items() if k != "new_obj_feats"})
+            buf.append(self._step(img, is_first))
             if len(buf) >= max(window, 1):
                 if pending:
                     yield from drain(pending)
@@ -255,16 +404,50 @@ class VPSInferencePipeline:
         from video_knet_tpu.data.transforms import nearest_resize
         from video_knet_tpu.ops.panoptic import PanopticResult
 
-        res = PanopticResult(
-            panoptic_seg=np.asarray(host["pan"], np.int32),
-            keep=np.asarray(host["keep"]),
-            seg_ids=np.asarray(host["seg_ids"], np.int32),
-            labels=np.asarray(host["labels"], np.int32),
-            scores=np.asarray(host["scores"]),
-            isthing=np.asarray(host["isthing"]),
-            areas=np.asarray(host["areas"]),
-            instance_idx=np.asarray(host["instance_idx"], np.int32),
-        )
+        if "track" in host:  # device-tracker payload: maps are ready-made
+            res = PanopticResult(
+                panoptic_seg=np.asarray(host["pan"], np.int32),
+                keep=np.asarray(host["keep"]),
+                seg_ids=np.asarray(host["seg_ids"], np.int32),
+                labels=np.asarray(host["labels"], np.int32),
+                scores=np.asarray(host["scores"]),
+                isthing=np.asarray(host["isthing"]),
+                areas=np.asarray(host["areas"]),
+                instance_idx=np.asarray(host["instance_idx"], np.int32),
+            )
+            pan, segments_info = segments_to_host(res, self.cfg.num_thing_classes)
+            sem = np.asarray(host["sem"], np.int32)
+            track_map = np.asarray(host["track"], np.int64)
+            oh, ow = self.out_hw
+            self.frame_id += 1
+            if pan.shape != (oh, ow):
+                pan = nearest_resize(pan, (oh, ow))
+                sem = nearest_resize(sem, (oh, ow))
+                track_map = nearest_resize(track_map, (oh, ow))
+            return VPSResult(pan, segments_info, sem, track_map)
+
+        if "pred" in host:  # full payload (fast_decode=False: decoded at out_hw)
+            p = host["pred"]
+            res = PanopticResult(*[np.asarray(x) for x in p.result])
+            res = res._replace(
+                panoptic_seg=res.panoptic_seg.astype(np.int32),
+                seg_ids=res.seg_ids.astype(np.int32),
+                labels=res.labels.astype(np.int32),
+                instance_idx=res.instance_idx.astype(np.int32),
+            )
+            thing_mask_idx = np.asarray(p.thing_mask_idx, np.int32)
+        else:
+            res = PanopticResult(
+                panoptic_seg=np.asarray(host["pan"], np.int32),
+                keep=np.asarray(host["keep"]),
+                seg_ids=np.asarray(host["seg_ids"], np.int32),
+                labels=np.asarray(host["labels"], np.int32),
+                scores=np.asarray(host["scores"]),
+                isthing=np.asarray(host["isthing"]),
+                areas=np.asarray(host["areas"]),
+                instance_idx=np.asarray(host["instance_idx"], np.int32),
+            )
+            thing_mask_idx = np.asarray(host["thing_mask_idx"], np.int32)
         pan, segments_info = segments_to_host(res, self.cfg.num_thing_classes)
         semantic_thing = np.asarray(host["semantic_thing"], dtype=np.float32)
         embeds = np.asarray(host["embeds"], dtype=np.float32)
@@ -283,8 +466,7 @@ class VPSInferencePipeline:
             # candidate k indexes the topk thing list; its embedding comes from its
             # source proposal (thing_mask_idx)
             inst = res.instance_idx[thing_sel]
-            mask_idx = np.asarray(host["thing_mask_idx"], np.int32)
-            det_embeds = embeds[mask_idx[inst]]
+            det_embeds = embeds[thing_mask_idx[inst]]
             filt = masks * semantic_thing[None]
             if self.tracker_type == "quasi_dense":
                 # boxes in out_hw coords (scale-consistent with prior frames)
@@ -334,8 +516,27 @@ class MultiStreamVPSPipeline:
                  tracker_type: str = "quasi_dense"):
         self.cfg = cfg
         self.n = n_streams
-        self.step = make_frame_step(model, variables, cfg, out_hw,
-                                    batched=True, compact_host=True)
+        self.device_tracker = (
+            tracker_type == "quasi_dense" and cfg.test.fast_decode
+        )
+        if self.device_tracker:
+            from video_knet_tpu.models.video.device_tracker import (
+                init_tracker_state,
+            )
+
+            self.step = make_device_tracker_frame_step(
+                model, variables, cfg, out_hw, thing_ids_in_orig, batched=True
+            )
+            one = init_tracker_state(
+                cfg.tracker, cfg.test.max_per_img, _track_embed_dim(cfg)
+            )
+            self.track_state = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), one
+            )
+        else:
+            self.step = make_frame_step(model, variables, cfg, out_hw,
+                                        batched=True,
+                                        compact_host=cfg.test.fast_decode)
         # per-stream host state (tracker, frame counter) shares the one step
         self.streams = [
             VPSInferencePipeline(
@@ -353,7 +554,9 @@ class MultiStreamVPSPipeline:
 
     @staticmethod
     def _slice(host: dict, i: int) -> dict:
-        return {k: v[i] for k, v in host.items()}
+        # tree_map (not dict values) so a full payload's PanopticPrediction
+        # NamedTuple is sliced leaf-wise, not tuple-indexed
+        return jax.tree_util.tree_map(lambda v: v[i], host)
 
     def _finish_round(self, host: dict, flags) -> list[VPSResult]:
         results = []
@@ -364,21 +567,31 @@ class MultiStreamVPSPipeline:
             results.append(self.streams[i]._finish_frame(self._slice(host, i)))
         return results
 
+    def _step(self, imgs, flags):
+        if self.device_tracker:
+            out = self.step(
+                imgs, self.prev_obj, self.track_state, jnp.asarray(flags)
+            )
+            self.track_state = out["track_state"]
+        else:
+            out = self.step(imgs, self.prev_obj, jnp.asarray(flags))
+        self.prev_obj = out["new_obj_feats"]
+        return {
+            k: v for k, v in out.items()
+            if k not in ("new_obj_feats", "track_state")
+        }
+
     def run_frames(self, imgs, is_first_flags) -> list[VPSResult]:
         """imgs: [B, H, W, 3]; is_first_flags: [B] bools. One result per stream."""
         flags = np.asarray(is_first_flags, bool)
-        out = self.step(imgs, self.prev_obj, jnp.asarray(flags))
-        self.prev_obj = out["new_obj_feats"]
-        host = jax.device_get(
-            {k: v for k, v in out.items() if k != "new_obj_feats"}
-        )
-        return self._finish_round(host, flags)
+        payload = self._step(imgs, flags)
+        return self._finish_round(jax.device_get(payload), flags)
 
     def run_batched_sequence(self, rounds, flags_per_round=None):
         """Pipelined serving loop: `rounds` yields [B, H, W, 3] frame batches.
 
         Yields a list of B VPSResults per round. Round t+1's device step is
-        enqueued before round t's payload is fetched, overlapping host tracking
+        enqueued before round t's payload is fetched, overlapping host work
         with device compute (same double-buffering as run_sequence)."""
         pending = None  # (payload, flags)
         for t, imgs in enumerate(rounds):
@@ -387,9 +600,7 @@ class MultiStreamVPSPipeline:
                 if flags_per_round is None
                 else np.asarray(flags_per_round[t], bool)
             )
-            out = self.step(imgs, self.prev_obj, jnp.asarray(flags))
-            self.prev_obj = out["new_obj_feats"]
-            cur = ({k: v for k, v in out.items() if k != "new_obj_feats"}, flags)
+            cur = (self._step(imgs, flags), flags)
             if pending is not None:
                 payload, pflags = pending
                 yield self._finish_round(jax.device_get(payload), pflags)
