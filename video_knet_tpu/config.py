@@ -145,6 +145,10 @@ class KNetConfig:
 
     backbone: str = "resnet50"
     backbone_drop_path_rate: float = 0.0  # 0.3 swin-b / 0.2 swin-l configs
+    # 'fpn' (release) | 'msdeform_pixel_decoder' (the *deformable_fpn* configs,
+    # knet/det/msdeformattn_decoder.py:18). Ignored for RFP backbones
+    # ('detectors_r50', 'swin_b_rfp'), whose recursive pyramid IS the neck.
+    neck_type: str = "fpn"
     frozen_stages: int = 1
     norm_eval: bool = True
     # TPU mixed precision: forward+backward compute in bfloat16 (params cast at

@@ -23,6 +23,8 @@ from video_knet_tpu.config import (
 class VISConfig:
     backbone: str = "resnet50"
     backbone_drop_path_rate: float = 0.0  # 0.3 in the swin-b VIS config
+    # 'fpn' | 'msdeform_pixel_decoder' (knet_track_r50_deformablefpn.py neck)
+    neck_type: str = "fpn"
     frozen_stages: int = 1
     norm_eval: bool = True
     bf16_train: bool = False  # bf16 forward/backward, fp32 masters (train/vps.py)

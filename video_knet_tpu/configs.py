@@ -55,6 +55,26 @@ def knet_s3_r50_fpn_coco_panoptic() -> KNetConfig:
     )
 
 
+def knet_s3_r50_fpn_coco_instance() -> KNetConfig:
+    """configs/det/coco/knet_s3_r50_fpn_ms-3x_coco.py — COCO instance
+    segmentation (80 thing classes, no stuff rows, no panoptic decode; test
+    output is top-k instance masks, kernel_iter_head.py:271-282 +
+    kernel_update_head.py:443-483)."""
+    base = kitti_step_image_config()
+    return dataclasses.replace(
+        base,
+        num_thing_classes=80,
+        num_stuff_classes=0,
+        rpn=dataclasses.replace(
+            base.rpn, num_classes=80, num_thing_classes=80, num_stuff_classes=0,
+            cat_stuff_mask=False, seg_use_sigmoid=True,
+        ),
+        head=dataclasses.replace(
+            base.head, num_classes=80, num_thing_classes=80, num_stuff_classes=0,
+        ),
+    )
+
+
 def video_knet_s3_r50_kitti_step_joint_train() -> VideoKNetConfig:
     """configs/det/video_knet_kitti_step/video_knet_s3_r50_rpn_1x_kitti_step_
     sigmoid_stride2_mask_embed_link_ffn_joint_train.py — THE flagship VPS model."""
@@ -130,6 +150,36 @@ def video_knet_vis_swin_b_ytvis2019() -> VISConfig:
                                backbone_drop_path_rate=0.3)
 
 
+def video_knet_vis_r50_deformable_ytvis2019() -> VISConfig:
+    """configs/video_knet_vis/video_knet_vis/knet_track_r50_deformable_fpn_1x_
+    youtubevis.py: MSDeformAttnPixelDecoder neck instead of FPN
+    (_base_/models/knet_track_r50_deformablefpn.py)."""
+    return dataclasses.replace(
+        youtube_vis_2019_config(), neck_type="msdeform_pixel_decoder"
+    )
+
+
+def video_knet_vis_swin_b_deformable_ytvis2019() -> VISConfig:
+    """configs/video_knet_vis/video_knet_vis/knet_track_swinb_deformable_1x_
+    youtubevis.py."""
+    return dataclasses.replace(
+        video_knet_vis_swin_b_ytvis2019(), neck_type="msdeform_pixel_decoder"
+    )
+
+
+def knet_s3_detectors_r50_cityscapes_step() -> KNetConfig:
+    """DetectoRS (SAC + recursive feature pyramid) image K-Net — the reference
+    keeps DetectoRSResNet/RFP registered but ships no config
+    (swin/DetectRS.py:209); smoke config for the same reachability."""
+    return dataclasses.replace(kitti_step_image_config(), backbone="detectors_r50")
+
+
+def knet_s3_swin_b_rfp_cityscapes_step() -> KNetConfig:
+    """SwinTransformerRFP image K-Net (swin/swin_transformer_rfp.py:874) —
+    registered-but-unreleased in the reference; smoke config."""
+    return dataclasses.replace(kitti_step_image_config(), backbone="swin_b_rfp")
+
+
 def video_knet_vis_volume_r50_ytvis2019() -> VISConfig:
     """Volume (tube-kernel) VIS ablation: ConvKernelHeadVideo init
     (knet_vis/tracker/kernel_head.py:12), clip stages only."""
@@ -141,6 +191,7 @@ CONFIGS: dict[str, Callable] = {
     "knet_s3_swin_b_fpn_cityscapes_step": knet_s3_swin_b_fpn_cityscapes_step,
     "knet_s3_swin_l_fpn_cityscapes_step": knet_s3_swin_l_fpn_cityscapes_step,
     "knet_s3_r50_fpn_ms-3x_coco-panoptic": knet_s3_r50_fpn_coco_panoptic,
+    "knet_s3_r50_fpn_ms-3x_coco": knet_s3_r50_fpn_coco_instance,
     "video_knet_s3_r50_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_joint_train": (
         video_knet_s3_r50_kitti_step_joint_train
     ),
@@ -166,6 +217,18 @@ CONFIGS: dict[str, Callable] = {
     "video_knet_vis_r50_ytvis2019": video_knet_vis_r50_ytvis2019,
     "video_knet_vis_swin_b_ytvis2019": video_knet_vis_swin_b_ytvis2019,
     "video_knet_vis_volume_r50_ytvis2019": video_knet_vis_volume_r50_ytvis2019,
+    "video_knet_vis_r50_deformable_ytvis2019": video_knet_vis_r50_deformable_ytvis2019,
+    "video_knet_vis_swin_b_deformable_ytvis2019": (
+        video_knet_vis_swin_b_deformable_ytvis2019
+    ),
+    "knet_track_r50_deformable_fpn_1x_youtubevis": (
+        video_knet_vis_r50_deformable_ytvis2019
+    ),
+    "knet_track_swinb_deformable_1x_youtubevis": (
+        video_knet_vis_swin_b_deformable_ytvis2019
+    ),
+    "knet_s3_detectors_r50_cityscapes_step": knet_s3_detectors_r50_cityscapes_step,
+    "knet_s3_swin_b_rfp_cityscapes_step": knet_s3_swin_b_rfp_cityscapes_step,
 }
 
 

@@ -35,7 +35,7 @@ class KNet(nn.Module):
     @nn.compact
     def __call__(self, img: Array) -> tuple[RPNOutputs, list[StageOutput]]:
         cfg = self.cfg
-        from video_knet_tpu.models.backbones import build_backbone
+        from video_knet_tpu.models.backbones import build_backbone, build_neck
 
         feats = build_backbone(
             cfg.backbone,
@@ -44,7 +44,8 @@ class KNet(nn.Module):
             train=self.train,
             drop_path_rate=cfg.backbone_drop_path_rate,
         )(img)
-        fpn = FPN(name="neck")(feats)
+        neck = build_neck(getattr(cfg, "neck_type", "fpn"), cfg.backbone)
+        fpn = feats if neck is None else neck(feats)
         rpn_out = ConvKernelHead(cfg.rpn, name="rpn_head")(fpn)
         stage_outs = KernelIterHead(
             cfg.head, num_stages=cfg.num_stages, name="roi_head"
@@ -364,6 +365,56 @@ def knet_loss(
     )
     losses.update(iter_losses)
     return losses
+
+
+class InstancePrediction(NamedTuple):
+    """COCO instance-seg decode output (fixed max_per_img slots)."""
+
+    masks: Array  # [max_per_img, H, W] float mask probabilities
+    labels: Array  # [max_per_img] int32 class labels
+    scores: Array  # [max_per_img] float
+
+
+def instance_decode_single(
+    cls_score_logits: Array,  # [N_tot, C]
+    mask_preds: Array,  # [N_tot, Hs, Ws]
+    cfg: KNetConfig,
+    out_hw: tuple[int, int] | None = None,
+) -> InstancePrediction:
+    """Top-k instance-segmentation decode (the non-panoptic test branch,
+    kernel_iter_head.py:271-282 + kernel_update_head.py:443-468 get_seg_masks):
+    sigmoid scores over (proposal, class) pairs, top max_per_img, bilinear
+    mask upsample. Masks stay as probabilities; threshold with
+    cfg.test.mask_thr at dump time (segm2result lives in eval/coco_instance)."""
+    t = cfg.test
+    c = cfg.num_thing_classes  # instance mode: all classes are things
+    scores = jax.nn.sigmoid(
+        cls_score_logits[: cfg.num_proposals, :c].astype(jnp.float32)
+    ).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(scores, t.max_per_img)
+    mask_idx = top_idx // c
+    labels = (top_idx % c).astype(jnp.int32)
+    masks = jnp.take(mask_preds[: cfg.num_proposals], mask_idx, axis=0)
+    if out_hw is not None and masks.shape[-2:] != tuple(out_hw):
+        masks = resize_mask_bilinear(masks, tuple(out_hw))
+    return InstancePrediction(
+        masks=jax.nn.sigmoid(masks.astype(jnp.float32)),
+        labels=labels,
+        scores=top_scores,
+    )
+
+
+def instance_decode(
+    rpn_out: RPNOutputs,
+    stage_outs: list[StageOutput],
+    cfg: KNetConfig,
+    out_hw: tuple[int, int] | None = None,
+) -> InstancePrediction:
+    """Batch-of-1 wrapper around instance_decode_single."""
+    last = stage_outs[-1]
+    return instance_decode_single(
+        last.cls_score[0], last.scaled_mask_preds[0], cfg, out_hw
+    )
 
 
 class PanopticPrediction(NamedTuple):

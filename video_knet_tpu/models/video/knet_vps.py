@@ -92,7 +92,7 @@ class VideoKNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        from video_knet_tpu.models.backbones import build_backbone
+        from video_knet_tpu.models.backbones import build_backbone, build_neck
 
         self.backbone = build_backbone(
             cfg.backbone,
@@ -102,7 +102,9 @@ class VideoKNet(nn.Module):
             drop_path_rate=cfg.backbone_drop_path_rate,
             module_name=None,
         )
-        self.neck = FPN()
+        self.neck = build_neck(
+            getattr(cfg, "neck_type", "fpn"), cfg.backbone, name=None
+        )
         self.rpn_head = ConvKernelHead(cfg.rpn)
         self.heads = [
             KernelUpdateHead(
@@ -129,7 +131,8 @@ class VideoKNet(nn.Module):
             )
 
     def extract_feat(self, img: Array) -> Array:
-        return self.neck(self.backbone(img))
+        feats = self.backbone(img)
+        return feats if self.neck is None else self.neck(feats)
 
     def run_branch(
         self, img: Array, previous_obj_feats: Array | None = None

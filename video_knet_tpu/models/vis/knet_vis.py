@@ -64,7 +64,7 @@ class KNetVIS(nn.Module):
         cfg = self.cfg
         b, t = clip.shape[:2]
         flat = clip.reshape(b * t, *clip.shape[2:])
-        from video_knet_tpu.models.backbones import build_backbone
+        from video_knet_tpu.models.backbones import build_backbone, build_neck
 
         feats = build_backbone(
             cfg.backbone,
@@ -73,7 +73,8 @@ class KNetVIS(nn.Module):
             train=self.train,
             drop_path_rate=cfg.backbone_drop_path_rate,
         )(flat)
-        fpn = FPN(name="neck")(feats)
+        neck = build_neck(getattr(cfg, "neck_type", "fpn"), cfg.backbone)
+        fpn = feats if neck is None else neck(feats)
 
         if cfg.kernel_head_mode == "volume":
             # volume (tube) kernel init: one kernel owns one tube from the start
