@@ -125,3 +125,97 @@ def test_panoptic_decode(tiny_setup):
     ids = np.asarray(pred.result.seg_ids)
     assert set(ids[kept]) == set(range(1, kept.sum() + 1))
     assert (ids[~kept] == 0).all()
+
+
+def test_instance_decode_and_coco_results(tmp_path):
+    """COCO instance mode (VERDICT r2 item 8): the knet_s3_r50_fpn_ms-3x_coco
+    config instantiates, trains a step, decodes top-k instances, and the
+    results format into per-class segm2result lists + COCO segm json
+    (kernel_update_head.py:443-483, kernel_iter_head.py:271-282)."""
+    import dataclasses
+    import json
+
+    from video_knet_tpu.configs import get_config
+    from video_knet_tpu.eval.coco_instance import (
+        instances_to_coco_json,
+        segm2result,
+        write_coco_results,
+    )
+    from video_knet_tpu.models.knet import instance_decode
+
+    cfg = get_config("knet_s3_r50_fpn_ms-3x_coco")
+    assert cfg.num_thing_classes == 80 and cfg.num_stuff_classes == 0
+    assert not cfg.rpn.cat_stuff_mask
+    # tiny geometry for the smoke run
+    cfg = dataclasses.replace(
+        cfg, num_proposals=8, max_insts=4,
+        num_thing_classes=5, num_stuff_classes=0,
+        rpn=dataclasses.replace(
+            cfg.rpn, num_proposals=8, num_classes=5, num_thing_classes=5,
+        ),
+        head=dataclasses.replace(
+            cfg.head, num_classes=5, num_thing_classes=5, feedforward_channels=256,
+        ),
+        test=dataclasses.replace(cfg.test, max_per_img=6),
+    )
+    model = KNet(cfg, train=True)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    # train step with instance-only GT (no stuff rows)
+    g = cfg.max_insts
+    # image config: mask_assign_stride=4 -> GT at 16x24 for 64x96 inputs
+    gt = PanopticGT(
+        masks=jnp.zeros((1, g, 16, 24)).at[0, 0, :8, :12].set(1.0),
+        labels=jnp.zeros((1, g), jnp.int32),
+        valid=jnp.zeros((1, g), bool).at[0, 0].set(True),
+        instance_ids=jnp.full((1, g), -1, jnp.int32).at[0, 0].set(0),
+        sem_masks=jnp.zeros((1, 0, 16, 24)),
+        sem_valid=jnp.zeros((1, 0), bool),
+    )
+
+    @jax.jit
+    def loss_fn(params):
+        rpn_out, stage_outs = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, img
+        )
+        return sum(knet_loss(rpn_out, stage_outs, gt, cfg).values())
+
+    assert np.isfinite(float(loss_fn(variables["params"])))
+
+    infer = KNet(cfg, train=False)
+    rpn_out, stage_outs = infer.apply(variables, img, mutable=False)
+    pred = jax.jit(
+        lambda r, s: instance_decode(r, s, cfg, out_hw=(64, 96))
+    )(rpn_out, stage_outs)
+    k = cfg.test.max_per_img
+    assert pred.masks.shape == (k, 64, 96)
+    assert pred.labels.shape == (k,) and pred.scores.shape == (k,)
+    assert (np.asarray(pred.masks) >= 0).all() and (np.asarray(pred.masks) <= 1).all()
+    # descending scores (top_k is sorted)
+    s = np.asarray(pred.scores)
+    assert (np.diff(s) <= 1e-6).all()
+
+    bbox_r, segm_r = segm2result(
+        np.asarray(pred.masks), np.asarray(pred.labels), s,
+        num_classes=cfg.num_thing_classes,
+    )
+    assert len(bbox_r) == cfg.num_thing_classes
+    assert sum(len(x) for x in segm_r) == k
+    for cls in range(cfg.num_thing_classes):
+        assert bbox_r[cls].shape[1] == 5
+        assert len(segm_r[cls]) == len(bbox_r[cls])
+
+    entries = instances_to_coco_json(
+        7, np.asarray(pred.masks), np.asarray(pred.labels), s,
+        cat_ids=list(range(1, cfg.num_thing_classes + 1)),
+    )
+    path = write_coco_results(entries, str(tmp_path))
+    loaded = json.load(open(path))
+    assert len(loaded) == k
+    assert all(e["image_id"] == 7 for e in loaded)
+    # RLE roundtrip on the first non-empty mask
+    from video_knet_tpu.data.rle import decode_mask
+
+    for e in loaded:
+        m = decode_mask(e["segmentation"])
+        assert m.shape == (64, 96)
