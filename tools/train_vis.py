@@ -62,7 +62,8 @@ def main():
     )
     ds = YouTubeVISDataset(args.ann_file, img_root=args.img_root)
     loader = VISTrainLoader(
-        ds, cfg, batch_size=args.batch_size, crop_hw=tuple(args.crop), seed=args.seed
+        ds, cfg, batch_size=args.batch_size, canvas_hw=tuple(args.crop),
+        seed=args.seed,
     )
     steps_per_epoch = max(1, len(ds) // args.batch_size)
 
