@@ -8,10 +8,17 @@ device step. Subsidiary numbers ride in "extra":
 
   device_step_fps         — the jitted per-frame device function alone
   multi_stream_device_fps — batched 8-stream device step throughput
-  multi_stream_e2e_fps    — 8-stream serving incl. per-stream host trackers
+  multi_stream_e2e_fps    — 8-stream serving (on-device tracker) end to end
   train_step_s            — steady-state VPS train step (b1, fp32 params)
   train_flops             — XLA cost-analysis FLOPs of that compiled step
   train_mfu               — train_flops / (train_step_s * chip bf16 peak)
+  train_scaling           — {batch: {ms_per_sample, mfu}} for b in 1,2,4,8
+  vis_clip_fps            — whole-clip VIS decode frames/sec @360x640, T=5
+  vis_train_step_s/_mfu   — VIS train step (b1, 5-frame clip) + its MFU
+
+Since round 3 the quasi-dense association runs ON DEVICE inside the jitted
+frame step (models/video/device_tracker.py): the e2e rows measure the full
+serving path (device step + id maps + host segments_info/upsample).
 
 `vs_baseline` divides the headline e2e fps by a 10-fps V100 estimate for this
 model class (the reference publishes no throughput; SURVEY.md §6 — the torch
@@ -37,6 +44,8 @@ WARMUP = 3
 ITERS = 20
 USE_BF16 = os.environ.get("VKNET_BENCH_BF16", "1") == "1"
 RUN_TRAIN = os.environ.get("VKNET_BENCH_TRAIN", "1") == "1"
+RUN_SCALING = os.environ.get("VKNET_BENCH_SCALING", "1") == "1"
+RUN_VIS = os.environ.get("VKNET_BENCH_VIS", "1") == "1"
 
 # chip peak dense bf16 FLOP/s by device kind (public figures)
 PEAK_BF16 = {
@@ -155,8 +164,31 @@ def bench_inference():
     return e2e_fps, dev_fps, ms_fps, ms_e2e_fps
 
 
+def _time_train_step(train_step, state, *batch, iters=10):
+    cost = train_step.lower(state, *batch).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+    # TWO warmup steps: the first call's output state carries the sharded/
+    # donated layout, so the second call compiles a second signature — both
+    # must be compiled before the timed region
+    for _ in range(2):
+        state, losses = train_step(state, *batch)
+        jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = train_step(state, *batch)
+    jax.block_until_ready(losses)
+    step_s = (time.perf_counter() - t0) / iters
+    mfu = flops / (step_s * _peak_flops()) if flops == flops else float("nan")
+    return step_s, flops, mfu
+
+
 def bench_train():
-    """Steady-state train-step seconds + compiled FLOPs + MFU (b1 @ 384x1248)."""
+    """Steady-state VPS train step (b1 @ 384x1248) + batch-scaling curve.
+
+    Returns (step_s, flops, mfu, scaling) where scaling maps batch size to
+    {ms_per_sample, mfu} for b in {1, 2, 4, 8} (skipping sizes that OOM)."""
     import optax
     from jax.sharding import Mesh
 
@@ -170,31 +202,87 @@ def bench_train():
     batch = make_synthetic_batch(cfg, 1, (H, W))
     variables = model.init(jax.random.PRNGKey(0), batch.img, batch.ref_img)
     tx = optax.adamw(1e-4, weight_decay=5e-2)
-    state = create_train_state(variables, tx)
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
     train_step = make_sharded_train_step(model, cfg, tx, mesh)
 
-    lowered = train_step.lower(state, batch)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    flops = float(cost.get("flops", float("nan")))
+    state = create_train_state(variables, tx)
+    step_s, flops, mfu = _time_train_step(train_step, state, batch)
 
-    # TWO warmup steps: the first call's output state carries the sharded/
-    # donated layout, so the second call compiles a second signature — both
-    # must be compiled before the timed region
-    for _ in range(2):
-        state, losses = train_step(state, batch)
-        jax.block_until_ready(losses)
-    iters = 10
+    scaling = {1: {"ms_per_sample": round(step_s * 1e3, 2), "mfu": round(mfu, 4)}}
+    if RUN_SCALING:
+        for b in (2, 4, 8):
+            try:
+                bb = make_synthetic_batch(cfg, b, (H, W))
+                st = create_train_state(variables, tx)
+                s_s, _, s_mfu = _time_train_step(train_step, st, bb, iters=6)
+                scaling[b] = {
+                    "ms_per_sample": round(s_s / b * 1e3, 2),
+                    "mfu": round(s_mfu, 4),
+                }
+            except Exception as e:  # OOM at large b: record and continue
+                scaling[b] = {"error": type(e).__name__}
+                break
+    return step_s, flops, mfu, scaling
+
+
+def bench_vis():
+    """VIS whole-clip decode fps (device) + VIS train step/MFU (b1, T=5)."""
+    import optax
+    from jax.sharding import Mesh
+
+    from video_knet_tpu.config_vis import youtube_vis_2019_config
+    from video_knet_tpu.models.vis.knet_vis import KNetVIS, vis_decode
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.utils.precision import cast_variables
+
+    vh, vw, t = 360, 640, 5
+    cfg = youtube_vis_2019_config()
+    model = KNetVIS(cfg, train=False)
+    clip = jnp.zeros((1, t, vh, vw, 3), jnp.float32)
+    variables = KNetVIS(cfg, train=True).init(jax.random.PRNGKey(0), clip)
+    infer_vars = cast_variables(variables) if USE_BF16 else variables
+
+    @jax.jit
+    def decode(c):
+        return vis_decode(model.apply(infer_vars, c, mutable=False), cfg,
+                          out_hw=(vh, vw))
+
+    dt_ = jnp.bfloat16 if USE_BF16 else jnp.float32
+    c = jnp.zeros((1, t, vh, vw, 3), dt_)
+    out = None
+    for _ in range(WARMUP):
+        out = decode(c)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, losses = train_step(state, batch)
-    jax.block_until_ready(losses)
-    step_s = (time.perf_counter() - t0) / iters
-    mfu = flops / (step_s * _peak_flops()) if flops == flops else float("nan")
-    return step_s, flops, mfu
+    for _ in range(ITERS):
+        out = decode(c)
+    jax.block_until_ready(out)
+    clip_fps = t * ITERS / (time.perf_counter() - t0)
+
+    # train step (synthetic 5-frame clip batch, 2 valid tubes)
+    from video_knet_tpu.models.vis.knet_vis import ClipGT
+    from video_knet_tpu.train.vis import make_sharded_vis_train_step
+
+    tmodel = KNetVIS(cfg, train=True)
+    s = cfg.mask_assign_stride
+    g = cfg.max_insts
+    masks = np.zeros((1, g, t, vh // s, vw // s), np.float32)
+    masks[:, 0, :, : vh // (2 * s), : vw // (2 * s)] = 1.0
+    masks[:, 1, :, vh // (2 * s) :, :] = 1.0
+    valid = np.zeros((1, g), bool)
+    valid[:, :2] = True
+    gt = ClipGT(
+        masks=jnp.asarray(masks),
+        labels=jnp.zeros((1, g), jnp.int32),
+        valid=jnp.asarray(valid),
+    )
+    tclip = jnp.zeros((1, t, vh, vw, 3), jnp.float32)
+    tx = optax.adamw(1e-4, weight_decay=5e-2)
+    state = create_train_state(variables, tx)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    step = make_sharded_vis_train_step(tmodel, cfg, tx, mesh)
+    step_s, _, mfu = _time_train_step(step, state, tclip, gt, iters=6)
+    return clip_fps, step_s, mfu
 
 
 def main():
@@ -205,11 +293,19 @@ def main():
         "multi_stream_e2e_fps": round(ms_e2e_fps, 3),
     }
     if RUN_TRAIN:
-        step_s, flops, mfu = bench_train()
+        step_s, flops, mfu, scaling = bench_train()
         extra.update(
             train_step_s=round(step_s, 4),
             train_flops=flops,
             train_mfu=round(mfu, 4),
+            train_scaling={str(k): v for k, v in scaling.items()},
+        )
+    if RUN_VIS:
+        clip_fps, vis_step_s, vis_mfu = bench_vis()
+        extra.update(
+            vis_clip_fps=round(clip_fps, 3),
+            vis_train_step_s=round(vis_step_s, 4),
+            vis_train_mfu=round(vis_mfu, 4),
         )
     print(
         json.dumps(
