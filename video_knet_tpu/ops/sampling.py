@@ -72,7 +72,16 @@ def roi_align(
     xs = x0[:, None, None, None, None] + bw[..., None] * gx
     ys = jnp.broadcast_to(ys, (rois.shape[0], out_size, s, out_size, s))
     xs = jnp.broadcast_to(xs, (rois.shape[0], out_size, s, out_size, s))
-    samples = bilinear_sample(feat, ys, xs)  # [R, out, s, out, s, C]
+    # torchvision/mmcv boundary semantics (bilinear_interpolate in the
+    # roi_align kernel): a sample outside [-1, H]x[-1, W] contributes 0, but
+    # one inside the window is CLAMPED to the map edges (full border-pixel
+    # value) rather than zero-padded — do the same here.
+    h, w, _ = feat.shape
+    valid = (ys >= -1.0) & (ys <= h) & (xs >= -1.0) & (xs <= w)
+    ysc = jnp.clip(ys, 0.0, h - 1.0)
+    xsc = jnp.clip(xs, 0.0, w - 1.0)
+    samples = bilinear_sample(feat, ysc, xsc)  # [R, out, s, out, s, C]
+    samples = samples * valid[..., None]
     return samples.mean(axis=(2, 4))
 
 
