@@ -15,6 +15,8 @@ device step. Subsidiary numbers ride in "extra":
   train_scaling           — {batch: {ms_per_sample, mfu}} for b in 1,2,4,8
   vis_clip_fps            — whole-clip VIS decode frames/sec @360x640, T=5
   vis_train_step_s/_mfu   — VIS train step (b1, 5-frame clip) + its MFU
+  swinb_vipseg_*          — the Swin-B VIP-Seg flagship @736x1280: e2e fps,
+                            device-step fps, train step s, train MFU
 
 Since round 3 the quasi-dense association runs ON DEVICE inside the jitted
 frame step (models/video/device_tracker.py): the e2e rows measure the full
@@ -46,6 +48,7 @@ USE_BF16 = os.environ.get("VKNET_BENCH_BF16", "1") == "1"
 RUN_TRAIN = os.environ.get("VKNET_BENCH_TRAIN", "1") == "1"
 RUN_SCALING = os.environ.get("VKNET_BENCH_SCALING", "1") == "1"
 RUN_VIS = os.environ.get("VKNET_BENCH_VIS", "1") == "1"
+RUN_SWINB = os.environ.get("VKNET_BENCH_SWINB", "1") == "1"
 
 # chip peak dense bf16 FLOP/s by device kind (public figures)
 PEAK_BF16 = {
@@ -205,15 +208,21 @@ def bench_train():
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
     train_step = make_sharded_train_step(model, cfg, tx, mesh)
 
-    state = create_train_state(variables, tx)
-    step_s, flops, mfu = _time_train_step(train_step, state, batch)
+    # the jitted step donates its input state; state buffers alias `variables`,
+    # so every create_train_state gets a fresh copy
+    def fresh_state():
+        return create_train_state(
+            jax.tree_util.tree_map(jnp.array, variables), tx
+        )
+
+    step_s, flops, mfu = _time_train_step(train_step, fresh_state(), batch)
 
     scaling = {1: {"ms_per_sample": round(step_s * 1e3, 2), "mfu": round(mfu, 4)}}
     if RUN_SCALING:
         for b in (2, 4, 8):
             try:
                 bb = make_synthetic_batch(cfg, b, (H, W))
-                st = create_train_state(variables, tx)
+                st = fresh_state()
                 s_s, _, s_mfu = _time_train_step(train_step, st, bb, iters=6)
                 scaling[b] = {
                     "ms_per_sample": round(s_s / b * 1e3, 2),
@@ -285,6 +294,89 @@ def bench_vis():
     return clip_fps, step_s, mfu
 
 
+def bench_swinb_vipseg():
+    """The 5th BASELINE config on chip: Swin-B VPS at VIP-Seg resolution
+    (short side 720). Returns {e2e_fps, device_step_fps, train_step_s, mfu}."""
+    import optax
+    from jax.sharding import Mesh
+
+    from video_knet_tpu.configs import get_config
+    from video_knet_tpu.models.video.inference import (
+        VPSInferencePipeline,
+        make_device_tracker_frame_step,
+    )
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vps import make_sharded_train_step, make_synthetic_batch
+    from video_knet_tpu.utils.precision import cast_variables
+
+    vh, vw = 736, 1280  # short-side-720 rounded to the stride-32 pad
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("video_knet_vipseg_swin_b"), max_insts=8)
+    model = VideoKNet(cfg, train=False)
+    img = jnp.zeros((1, vh, vw, 3), jnp.float32)
+    variables = VideoKNet(cfg, train=True).init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        img, img,
+    )
+    infer_vars = cast_variables(variables) if USE_BF16 else variables
+    dt_ = jnp.bfloat16 if USE_BF16 else jnp.float32
+
+    pipe = VPSInferencePipeline(
+        model, infer_vars, cfg, out_hw=(vh, vw), thing_ids_in_orig=None
+    )
+    rng = np.random.RandomState(0)
+    frames = [
+        jnp.asarray(rng.randn(1, vh, vw, 3).astype(np.float32), dtype=dt_)
+        for _ in range(2)
+    ]
+    iters = 12
+    seq = [frames[i % 2] for i in range(WARMUP + iters)]
+    gen = pipe.run_sequence(seq)
+    for _ in range(WARMUP):
+        next(gen)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        next(gen)
+    e2e = iters / (time.perf_counter() - t0)
+
+    step = make_device_tracker_frame_step(
+        model, infer_vars, cfg, (vh, vw), thing_ids_in_orig=None
+    )
+    from video_knet_tpu.models.video.device_tracker import init_tracker_state
+
+    n_tot = cfg.num_proposals + cfg.num_stuff_classes
+    prev = jnp.zeros((1, n_tot, 1, cfg.head.in_channels), dt_)
+    st = init_tracker_state(cfg.tracker, cfg.test.max_per_img, 256)
+    out = None
+    for _ in range(WARMUP):
+        out = step(frames[0], prev, st, jnp.asarray(False))
+        prev, st = out["new_obj_feats"], out["track_state"]
+    jax.block_until_ready(out["pan"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(frames[0], prev, st, jnp.asarray(False))
+        prev, st = out["new_obj_feats"], out["track_state"]
+    jax.block_until_ready(out["pan"])
+    dev_fps = iters / (time.perf_counter() - t0)
+
+    # train step (joint two-branch forward) at the same resolution
+    tmodel = VideoKNet(cfg, train=True)
+    batch = make_synthetic_batch(cfg, 1, (vh, vw))
+    tx = optax.adamw(1e-4, weight_decay=5e-2)
+    state = create_train_state(variables, tx)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    train_step = make_sharded_train_step(tmodel, cfg, tx, mesh)
+    step_s, _, mfu = _time_train_step(train_step, state, batch, iters=6)
+    return {
+        "swinb_vipseg_e2e_fps": round(e2e, 3),
+        "swinb_vipseg_device_fps": round(dev_fps, 3),
+        "swinb_vipseg_train_step_s": round(step_s, 4),
+        "swinb_vipseg_train_mfu": round(mfu, 4),
+    }
+
+
 def main():
     e2e_fps, dev_fps, ms_fps, ms_e2e_fps = bench_inference()
     extra = {
@@ -307,6 +399,11 @@ def main():
             vis_train_step_s=round(vis_step_s, 4),
             vis_train_mfu=round(vis_mfu, 4),
         )
+    if RUN_SWINB:
+        try:
+            extra.update(bench_swinb_vipseg())
+        except Exception as e:  # pragma: no cover - OOM/backend guard
+            extra["swinb_vipseg_error"] = f"{type(e).__name__}: {e}"[:200]
     print(
         json.dumps(
             {

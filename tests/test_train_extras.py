@@ -132,3 +132,41 @@ def test_vis_bf16_train_step():
     )
     assert np.isfinite(float(t16))
     assert abs(float(t16) - float(t32)) / float(t32) < 0.05
+
+
+def test_swin_drop_path_train_step_rngs():
+    """Stochastic-depth configs must train through make_sharded_train_step:
+    the step folds the step counter into a dropout rng (deterministic per
+    step). Before round 3 swin drop-path configs crashed here (no rngs)."""
+    import dataclasses
+
+    import optax
+    from jax.sharding import Mesh
+
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vps import make_sharded_train_step, make_synthetic_batch
+
+    cfg = VideoKNetConfig(
+        max_insts=4, backbone="swin_tiny", backbone_drop_path_rate=0.2
+    )
+    model = VideoKNet(cfg, train=True)
+    batch = make_synthetic_batch(cfg, 1, (64, 96), seed=0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch.img, batch.ref_img,
+    )
+    tx = optax.adam(1e-4)
+    # the train step donates its input state, whose buffers are shared with
+    # `variables` — copy per state so the second create sees live buffers
+    fresh = lambda: create_train_state(
+        jax.tree_util.tree_map(jnp.array, variables), tx
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    step = make_sharded_train_step(model, cfg, tx, mesh)
+    state, losses = step(fresh(), batch)
+    assert np.isfinite(float(losses["total_loss"]))
+    # determinism: same step counter -> same rng -> same loss
+    _, losses2 = step(fresh(), batch)
+    assert float(losses2["total_loss"]) == float(losses["total_loss"])

@@ -145,3 +145,61 @@ def test_vipseg_step_eval_and_hook(tmp_path, monkeypatch, capsys):
     )
     assert res["frames"] == 2
     assert np.isfinite(res["PQ"]) and np.isfinite(res["STQ"])
+
+
+def test_vipseg_swin_b_config_train_and_infer():
+    """The 5th BASELINE config — Swin-B VPS on VIP-Seg (VERDICT r2 item 3):
+    instantiable from the registry, trains a joint step, and runs the online
+    pipeline (tiny geometry; the real-resolution numbers live in bench.py
+    extras). Reference: configs/det/video_knet_vipseg/video_knet_s3_swin_b_
+    rpn_vipseg_mask_embed_link_ffn_joint_train_8e.py."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from video_knet_tpu.configs import get_config
+    from video_knet_tpu.models.video.inference import VPSInferencePipeline
+    from video_knet_tpu.models.video.knet_vps import VideoKNet, video_knet_loss
+    from video_knet_tpu.train.vps import make_synthetic_batch
+
+    cfg = get_config("video_knet_vipseg_swin_b")
+    assert cfg.backbone == "swin_base" and cfg.num_classes == 124
+    assert cfg.backbone_drop_path_rate == 0.3 and cfg.previous_type == "ffn"
+    assert get_config(
+        "video_knet_s3_swin_b_rpn_vipseg_mask_embed_link_ffn_joint_train_8e"
+    ) == cfg
+    cfg = dataclasses.replace(cfg, max_insts=4)
+    model = VideoKNet(cfg, train=True)
+    batch = make_synthetic_batch(cfg, 1, (64, 96), seed=0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch.img, batch.ref_img,
+    )
+
+    def loss_fn(params):
+        vs = dict(variables)
+        vs["params"] = params
+        key, ref, key_emb, ref_emb = model.apply(
+            vs, batch.img, batch.ref_img,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return sum(
+            video_knet_loss((key, ref), (key_emb, ref_emb), batch.gt,
+                            batch.ref_gt, cfg).values()
+        )
+
+    total, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(total))
+    g = sum(float(jnp.abs(x).sum())
+            for x in jax.tree_util.tree_leaves(grads["backbone"]))
+    assert g > 0  # gradients reach the swin backbone
+
+    infer = VideoKNet(cfg, train=False)
+    pipe = VPSInferencePipeline(
+        infer, variables, cfg, out_hw=(64, 96), thing_ids_in_orig=None
+    )
+    for t in range(2):
+        res = pipe.run_frame(jnp.zeros((1, 64, 96, 3)), is_first=(t == 0))
+        assert res.panoptic_seg.shape == (64, 96)

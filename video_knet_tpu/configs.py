@@ -140,6 +140,16 @@ def video_knet_s3_r50_vipseg() -> VideoKNetConfig:
     return vipseg_video_config()
 
 
+def video_knet_s3_swin_b_vipseg() -> VideoKNetConfig:
+    """configs/det/video_knet_vipseg/video_knet_s3_swin_b_rpn_vipseg_mask_
+    embed_link_ffn_joint_train_8e.py — the 5th BASELINE config: Swin-B VPS on
+    VIP-Seg (124 classes, short-side-720 frames, previous_type='ffn' linking,
+    drop_path 0.3, 8 epochs)."""
+    return dataclasses.replace(
+        vipseg_video_config(), backbone="swin_base", backbone_drop_path_rate=0.3
+    )
+
+
 def video_knet_vis_r50_ytvis2019() -> VISConfig:
     """configs/video_knet_vis/video_knet_vis/*.py — YT-VIS 2019 (40 classes)."""
     return youtube_vis_2019_config()
@@ -214,6 +224,10 @@ CONFIGS: dict[str, Callable] = {
     "video_knet_kitti_step_fuse_track": video_knet_fuse_track_kitti_step,
     "video_knet_kitti_step_roi_gt_box": video_knet_roi_gt_box_kitti_step,
     "video_knet_vipseg_r50": video_knet_s3_r50_vipseg,
+    "video_knet_vipseg_swin_b": video_knet_s3_swin_b_vipseg,
+    "video_knet_s3_swin_b_rpn_vipseg_mask_embed_link_ffn_joint_train_8e": (
+        video_knet_s3_swin_b_vipseg
+    ),
     "video_knet_vis_r50_ytvis2019": video_knet_vis_r50_ytvis2019,
     "video_knet_vis_swin_b_ytvis2019": video_knet_vis_swin_b_ytvis2019,
     "video_knet_vis_volume_r50_ytvis2019": video_knet_vis_volume_r50_ytvis2019,

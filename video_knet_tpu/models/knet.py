@@ -472,7 +472,9 @@ def panoptic_decode_single(
     nt = cfg.num_thing_classes
 
     thing_scores_full = cls_score[:n_prop, :nt].reshape(-1)  # [N*T]
-    top_scores, top_idx = jax.lax.top_k(thing_scores_full, t.max_per_img)
+    # small configs can have fewer (proposal, class) pairs than max_per_img
+    k_top = min(t.max_per_img, int(thing_scores_full.shape[0]))
+    top_scores, top_idx = jax.lax.top_k(thing_scores_full, k_top)
     mask_idx = top_idx // nt
     thing_labels = (top_idx % nt).astype(jnp.int32)
     thing_masks = jnp.take(mask_preds[:n_prop], mask_idx, axis=0)

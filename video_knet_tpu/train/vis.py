@@ -18,7 +18,9 @@ def make_vis_loss_fn(model: KNetVIS, cfg: VISConfig):
     """bf16_train: forward/backward in bfloat16 with fp32 master params and
     fp32 loss math (same contract as train/vps.py)."""
 
-    def loss_fn(params, batch_stats, clip, gt: ClipGT):
+    def loss_fn(params, batch_stats, clip, gt: ClipGT, rng=None):
+        # swin drop-path/dropout rngs (flax Dropout is rng-free at rate 0)
+        rngs = None if rng is None else {"dropout": rng}
         if getattr(cfg, "bf16_train", False):
             import jax.numpy as jnp
 
@@ -28,7 +30,7 @@ def make_vis_loss_fn(model: KNetVIS, cfg: VISConfig):
                 {"params": params, "batch_stats": batch_stats}
             )
             clip = clip.astype(jnp.bfloat16)
-            outs = model.apply(variables, clip, mutable=False)
+            outs = model.apply(variables, clip, mutable=False, rngs=rngs)
             outs = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.float32)
                 if getattr(x, "dtype", None) == jnp.bfloat16 else x,
@@ -36,7 +38,7 @@ def make_vis_loss_fn(model: KNetVIS, cfg: VISConfig):
             )
         else:
             variables = {"params": params, "batch_stats": batch_stats}
-            outs = model.apply(variables, clip, mutable=False)
+            outs = model.apply(variables, clip, mutable=False, rngs=rngs)
         losses = knet_vis_loss(outs, gt, cfg)
         total = sum(losses.values())
         return total, (losses, batch_stats)
@@ -52,6 +54,8 @@ def make_sharded_vis_train_step(model: KNetVIS, cfg: VISConfig,
     clip-level kernel fusion induces the cross-frame all-gather)."""
     loss_fn = make_vis_loss_fn(model, cfg)
     clip_parallel = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    stochastic = getattr(cfg, "backbone_drop_path_rate", 0.0) > 0.0
+    base_rng = jax.random.PRNGKey(0)
 
     def train_step(state: TrainState, clip, gt: ClipGT):
         if clip_parallel:
@@ -63,9 +67,10 @@ def make_sharded_vis_train_step(model: KNetVIS, cfg: VISConfig,
                     gt.masks, NamedSharding(mesh, P("data", None, "model"))
                 )
             )
+        rng = jax.random.fold_in(base_rng, state.step) if stochastic else None
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (loss_dict, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, clip, gt
+            state.params, state.batch_stats, clip, gt, rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

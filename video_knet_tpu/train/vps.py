@@ -100,7 +100,10 @@ def make_vps_loss_fn(model: VideoKNet, cfg: VideoKNetConfig):
             "stat updates would be accumulated in bfloat16"
         )
 
-    def loss_fn(params, batch_stats, batch: VPSBatch):
+    def loss_fn(params, batch_stats, batch: VPSBatch, rng=None):
+        # stochastic-regularization rngs (swin drop-path/dropout; flax Dropout
+        # needs no rng at rate 0, so r50 configs run rng-less as before)
+        rngs = None if rng is None else {"dropout": rng}
         if cfg.bf16_train:
             from video_knet_tpu.utils.precision import cast_variables
 
@@ -126,12 +129,14 @@ def make_vps_loss_fn(model: VideoKNet, cfg: VideoKNetConfig):
         mutable = ["batch_stats"] if (model.train and not cfg.norm_eval) else False
         if mutable:
             (key, ref, key_emb, ref_emb), updates = model.apply(
-                variables, batch.img, batch.ref_img, *gt_args, mutable=mutable
+                variables, batch.img, batch.ref_img, *gt_args,
+                mutable=mutable, rngs=rngs,
             )
             new_bs = updates["batch_stats"]
         else:
             key, ref, key_emb, ref_emb = model.apply(
-                variables, batch.img, batch.ref_img, *gt_args, mutable=False
+                variables, batch.img, batch.ref_img, *gt_args,
+                mutable=False, rngs=rngs,
             )
             new_bs = batch_stats
         if cfg.bf16_train:
@@ -159,6 +164,10 @@ def make_sharded_train_step(model: VideoKNet, cfg: VideoKNetConfig,
     high-res frames. State is replicated."""
     loss_fn = make_vps_loss_fn(model, cfg)
     spatial = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    # swin configs use stochastic depth/dropout: derive a per-step rng from
+    # the step counter (deterministic training, SURVEY.md §5.2)
+    stochastic = getattr(cfg, "backbone_drop_path_rate", 0.0) > 0.0
+    base_rng = jax.random.PRNGKey(0)
 
     def constrain(batch: VPSBatch) -> VPSBatch:
         if not spatial:
@@ -179,9 +188,10 @@ def make_sharded_train_step(model: VideoKNet, cfg: VideoKNetConfig,
 
     def train_step(state: TrainState, batch: VPSBatch):
         batch = constrain(batch)
+        rng = jax.random.fold_in(base_rng, state.step) if stochastic else None
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (loss_dict, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
