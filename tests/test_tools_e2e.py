@@ -136,3 +136,42 @@ def test_whole_video_vis_submission(tmp_path, monkeypatch):
     assert os.path.exists(out / "submission_file.zip")
     seg = next(s for r in results for s in r["segmentations"] if s is not None)
     assert seg["size"] == [64, 96]
+
+
+def test_coco_instance_cli(tmp_path, monkeypatch, capsys):
+    """tools/test_coco_instance.py: COCO-format image list -> instance decode
+    -> segm results json with decodable RLEs (VERDICT r2 item 8 CLI surface)."""
+    import json
+
+    from PIL import Image
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    images = []
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8)).save(
+            imgs / f"im{i}.png"
+        )
+        images.append({"id": i + 1, "file_name": f"im{i}.png",
+                       "height": 48, "width": 64})
+    ann = {
+        "images": images,
+        "categories": [{"id": c, "name": str(c)} for c in (1, 3, 7)],
+        "annotations": [],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    out = tmp_path / "out"
+    _run("test_coco_instance", [
+        "--ann-file", str(tmp_path / "ann.json"), "--img-root", str(imgs),
+        "--size", "64", "96", "--out", str(out),
+    ], monkeypatch)
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["n_images"] == 2
+    results = json.load(open(out / "coco_segm.json"))
+    assert len(results) == 2 * 100  # max_per_img per image
+    from video_knet_tpu.data.rle import decode_mask
+
+    e = results[0]
+    assert e["category_id"] in (1, 3, 7)
+    assert decode_mask(e["segmentation"]).shape == (48, 64)
