@@ -1,0 +1,133 @@
+"""Train-step time breakdown on the real chip (VERDICT r2 item 2).
+
+Times separately-jitted sub-graphs of the VPS train step to attribute the
+step's milliseconds (a device trace via jax.profiler is preferable when the
+backend supports it; this decomposition works over the remote-TPU tunnel):
+
+  full        — the production train step (fwd + bwd + AdamW)
+  fwd         — loss value only (no grad)
+  backbone    — backbone+neck fwd+bwd alone on both frames (proxy loss)
+  loss_block  — video_knet_loss fwd+bwd at FIXED model outputs (Hungarian
+                solves + target building + loss math, no model)
+
+heads fwd+bwd ≈ full − backbone − loss_block (shared residuals: optimizer,
+GT prep). Prints one JSON line; writes nothing.
+
+Usage: python scripts/profile_train.py [--hw 384 1248] [--batch 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vknet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(fn, *args, iters=10, warmup=2):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, nargs=2, default=(384, 1248))
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+    hw = tuple(args.hw)
+    b = args.batch
+
+    from jax.sharding import Mesh
+
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.knet_vps import VideoKNet, video_knet_loss
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vps import (
+        make_sharded_train_step,
+        make_synthetic_batch,
+        make_vps_loss_fn,
+    )
+
+    cfg = VideoKNetConfig(max_insts=8)
+    model = VideoKNet(cfg, train=True)
+    batch = make_synthetic_batch(cfg, b, hw)
+    variables = model.init(jax.random.PRNGKey(0), batch.img, batch.ref_img)
+    tx = optax.adamw(1e-4, weight_decay=5e-2)
+    state = create_train_state(variables, tx)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    res = {}
+
+    # full step (non-donated copy of the state for repeat timing)
+    step = make_sharded_train_step(model, cfg, tx, mesh)
+    s = create_train_state(variables, tx)
+    s, _ = step(s, batch)
+    s, _ = step(s, batch)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        s, losses = step(s, batch)
+    jax.block_until_ready(losses)
+    res["full_ms"] = (time.perf_counter() - t0) / iters * 1e3
+
+    # forward-only loss
+    loss_fn = make_vps_loss_fn(model, cfg)
+    fwd = jax.jit(lambda p, bs, bt: loss_fn(p, bs, bt)[0])
+    res["fwd_ms"] = timed(fwd, variables["params"], variables["batch_stats"], batch) * 1e3
+
+    # backbone+neck fwd+bwd on both frames
+    def bb_loss(params):
+        vs = {"params": params, "batch_stats": variables["batch_stats"]}
+        f1 = model.apply(vs, batch.img, method=VideoKNet.extract_feat)
+        f2 = model.apply(vs, batch.ref_img, method=VideoKNet.extract_feat)
+        return sum(jnp.mean(jnp.square(x)) for x in f1 + f2)
+
+    bb_grad = jax.jit(jax.grad(bb_loss))
+    res["backbone_fwd_bwd_ms"] = timed(bb_grad, variables["params"]) * 1e3
+
+    # loss block at fixed model outputs
+    outs = jax.jit(
+        lambda p: model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch.img, batch.ref_img,
+        )
+    )(variables["params"])
+    outs = jax.block_until_ready(outs)
+
+    def loss_on_outputs(o):
+        key, ref, ke, re_ = o
+        ls = video_knet_loss((key, ref), (ke, re_), batch.gt, batch.ref_gt, cfg)
+        return sum(ls.values())
+
+    lgrad = jax.jit(jax.grad(loss_on_outputs))
+    res["loss_block_fwd_bwd_ms"] = timed(lgrad, outs) * 1e3
+
+    res["heads_fwd_bwd_ms_est"] = (
+        res["full_ms"] - res["backbone_fwd_bwd_ms"] - res["loss_block_fwd_bwd_ms"]
+    )
+    res = {k: round(v, 2) for k, v in res.items()}
+    res["hw"] = list(hw)
+    res["batch"] = b
+    res["device"] = jax.devices()[0].device_kind
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
