@@ -82,10 +82,15 @@ def test_import_swin_strict_and_forward():
     assert [o.shape[-1] for o in outs] == [96, 192, 384, 768]
     for o in outs:
         assert np.all(np.isfinite(np.asarray(o)))
-    # weights actually landed (qkv kernel is the transposed torch weight)
+    # weights actually landed (qkv kernel is the transposed torch weight);
+    # block j lives at stage{i}_pairs/blk{j%2} leading-axis j//2 (scan layout)
     np.testing.assert_allclose(
-        np.asarray(merged["stage0_block0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(merged["stage0_pairs"]["blk0"]["attn"]["qkv"]["kernel"][0]),
         sd["layers.0.blocks.0.attn.qkv.weight"].numpy().T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["stage2_pairs"]["blk1"]["attn"]["proj"]["kernel"][2]),
+        sd["layers.2.blocks.5.attn.proj.weight"].numpy().T,
     )
 
 

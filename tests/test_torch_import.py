@@ -234,3 +234,49 @@ def test_mha_import_matches_torch():
     xj = jnp.asarray(x.numpy())
     y = fm.apply({"params": out["mha"]}, xj, xj)
     np.testing.assert_allclose(np.asarray(y), ref.numpy(), atol=2e-5)
+
+
+def test_import_joint_train_swin_backbone_dispatch():
+    """A joint-train checkpoint with a SWIN backbone (the Swin-B VIP-Seg /
+    KITTI swin configs) routes backbone.* through import_torch_swin, imports
+    strictly, and merges into VideoKNet(backbone='swin_tiny')."""
+    from test_swin_import import build_official_swin_sd
+
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.utils.checkpoint import merge_params
+    from video_knet_tpu.utils.torch_import import import_torch_knet
+
+    sd = build_reference_sd()
+    add_joint_train_sd(sd)
+    # swap the resnet backbone + its FPN laterals for swin-tiny ones
+    for k in [k for k in sd if k.startswith("backbone.")]:
+        del sd[k]
+    swin = build_official_swin_sd("tiny")
+    del swin["head.weight"], swin["head.bias"]
+    del swin["norm.weight"], swin["norm.bias"]
+    for i, dim in enumerate((96, 192, 384, 768)):
+        swin[f"norm{i}.weight"] = randn(dim)
+        swin[f"norm{i}.bias"] = randn(dim)
+    sd.update({"backbone." + k: v for k, v in swin.items()})
+    for i, cin in enumerate((96, 192, 384, 768)):
+        sd[f"neck.lateral_convs.{i}.conv.weight"] = randn(256, cin, 1, 1)
+
+    params, stats = import_torch_knet(sd, strict=True)
+    assert stats == {}  # layernorm backbone: no batch stats
+    assert "stage2_pairs" in params["backbone"]
+
+    cfg = VideoKNetConfig(max_insts=4, backbone="swin_tiny")
+    model = VideoKNet(cfg, train=False)
+    img = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    video_params = dict(params)
+    for name, head in video_params.pop("roi_head").items():
+        video_params[name] = head
+    merged = merge_params(variables["params"], video_params)
+    np.testing.assert_allclose(
+        np.asarray(
+            merged["backbone"]["stage0_pairs"]["blk0"]["attn"]["qkv"]["kernel"][0]
+        ),
+        sd["backbone.layers.0.blocks.0.attn.qkv.weight"].numpy().T,
+    )

@@ -84,10 +84,14 @@ def main():
                 "batch_stats", variables.get("batch_stats", {})),
         }
 
+    # weights as a jit argument (closure constants bloat the compile payload)
     @jax.jit
-    def forward(img):
-        rpn_out, stage_outs = model.apply(variables, img, mutable=False)
+    def _forward(vars_, img):
+        rpn_out, stage_outs = model.apply(vars_, img, mutable=False)
         return instance_decode(rpn_out, stage_outs, cfg, out_hw=(h, w))
+
+    def forward(img):
+        return _forward(variables, img)
 
     results = []
     for im in images:

@@ -65,10 +65,14 @@ def main():
             "batch_stats": loaded.get("batch_stats", variables.get("batch_stats", {})),
         }
 
+    # weights as a jit argument (closure constants bloat the compile payload)
     @jax.jit
-    def run_clip(clip):
-        outs = model.apply(variables, clip, mutable=False)
+    def _run_clip(vars_, clip):
+        outs = model.apply(vars_, clip, mutable=False)
         return vis_decode(outs, cfg, out_hw=(h, w))
+
+    def run_clip(clip):
+        return _run_clip(variables, clip)
 
     all_tracks = []
     t0 = time.time()

@@ -74,10 +74,14 @@ def _run_eval(args, cfg, variables):
     h, w = args.eval_size or args.crop
     model = KNet(cfg, train=False)
 
+    # weights as a jit argument (closure constants bloat the compile payload)
     @jax.jit
-    def forward(img):
-        rpn_out, stage_outs = model.apply(variables, img, mutable=False)
+    def _forward(vars_, img):
+        rpn_out, stage_outs = model.apply(vars_, img, mutable=False)
         return panoptic_decode(rpn_out, stage_outs, cfg, out_hw=(h, w))
+
+    def forward(img):
+        return _forward(variables, img)
 
     res = evaluate_image_panoptic(
         lambda img: segments_to_host(forward(img).result, cfg.num_thing_classes),

@@ -8,9 +8,12 @@ with relative position bias, patch merging between stages, per-stage LN on the
 
 TPU design notes: windows are formed by pure reshapes/transposes of the NHWC map
 (static shapes -> XLA tiles the [nW*B, win*win, C] attention onto the MXU);
-shifted windows use jnp.roll + a precomputed additive attention mask, so there is
-no dynamic control flow. Feature maps are padded to window multiples with static
-pad sizes.
+shifted windows use jnp.roll + an additive attention mask computed in-graph from
+iotas (no large embedded constants), so there is no dynamic control flow.
+Feature maps are padded to window multiples with static pad sizes. Each stage is
+a `lax.scan` over [no-shift, shift] block PAIRS (params stacked on a leading
+pair axis): one compiled body per stage instead of an unrolled 18-block chain,
+which keeps compile time and serialized-HLO size flat in depth.
 """
 
 from __future__ import annotations
@@ -56,18 +59,30 @@ def relative_position_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
-def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
-    """Additive mask [nW, ws*ws, ws*ws] marking cross-region pairs with -100."""
-    img = np.zeros((1, h, w, 1), np.float32)
-    cnt = 0
-    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-            img[:, hs, wsl, :] = cnt
-            cnt += 1
-    wins = img.reshape(1, h // ws, ws, w // ws, ws, 1)
-    wins = wins.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
-    diff = wins[:, None, :] - wins[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> Array:
+    """Additive mask [nW, ws*ws, ws*ws] marking cross-region pairs with -100.
+
+    Computed IN-GRAPH from iotas (region id = 3*f(row) + f(col), f = which of
+    the three cyclic-shift bands the index falls in) rather than embedded as a
+    literal: at high resolution the materialized mask is O(h*w*ws^2) floats
+    per shifted block (~12 MB at stride 4 of a 736x1280 frame), which bloats
+    the serialized HLO beyond what the remote-compile transport accepts; the
+    iota form is a few hundred bytes of HLO and XLA CSEs it across the blocks
+    of a stage. Shapes are static (h, w, ws, shift are Python ints)."""
+
+    def band(n: int, idx: Array) -> Array:
+        # [0, n-ws) -> 0, [n-ws, n-shift) -> 1, [n-shift, n) -> 2
+        return (idx >= n - ws).astype(jnp.int32) + (idx >= n - shift).astype(
+            jnp.int32
+        )
+
+    row = band(h, jax.lax.broadcasted_iota(jnp.int32, (h, w), 0))
+    col = band(w, jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+    region = row * 3 + col  # [h, w]
+    wins = region.reshape(h // ws, ws, w // ws, ws)
+    wins = jnp.transpose(wins, (0, 2, 1, 3)).reshape(-1, ws * ws)  # [nW, n]
+    same = wins[:, None, :] == wins[:, :, None]
+    return jnp.where(same, 0.0, -100.0).astype(jnp.float32)
 
 
 class WindowAttention(nn.Module):
@@ -119,22 +134,34 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0  # stochastic depth, linearly scaled per block
     deterministic: bool = True
+    # set (static) when the per-block rate arrives as a TRACED value instead of
+    # the static `drop_path` attribute — the scan-over-blocks path, where the
+    # linearly-scaled rates are scan inputs
+    use_drop_path: bool | None = None
 
-    def _drop_path(self, x: Array) -> Array:
+    def _drop_path(self, x: Array, rate) -> Array:
         """Residual-branch stochastic depth (swin_transformer.py:196-233):
-        dropout broadcast over all non-batch dims with 1/keep rescaling."""
-        return nn.Dropout(
-            self.drop_path, broadcast_dims=tuple(range(1, x.ndim))
-        )(x, deterministic=self.deterministic)
+        per-sample bernoulli keep mask broadcast over all non-batch dims with
+        1/keep rescaling. `rate` may be a traced scalar (scan path)."""
+        use = self.use_drop_path
+        if use is None:
+            use = self.drop_path > 0.0
+        if self.deterministic or not use:
+            return x
+        keep = 1.0 - rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return x * mask.astype(x.dtype) / keep
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, drop_path_rate: Array | None = None) -> Array:
         b, h, w, c = x.shape
         ws = self.window_size
         pad_h = (ws - h % ws) % ws
         pad_w = (ws - w % ws) % ws
         hp, wp = h + pad_h, w + pad_w
         shift = self.shift if min(hp, wp) > ws else 0
+        dpr = self.drop_path if drop_path_rate is None else drop_path_rate
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
@@ -154,7 +181,7 @@ class SwinBlock(nn.Module):
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w]
-        x = shortcut + self._drop_path(y)
+        x = shortcut + self._drop_path(y, dpr)
 
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
@@ -163,7 +190,47 @@ class SwinBlock(nn.Module):
         z = nn.Dropout(self.drop)(z, deterministic=self.deterministic)
         z = nn.Dense(self.dim, name="mlp_fc2")(z)
         z = nn.Dropout(self.drop)(z, deterministic=self.deterministic)
-        return x + self._drop_path(z)
+        return x + self._drop_path(z, dpr)
+
+
+class SwinBlockPair(nn.Module):
+    """One [no-shift, shift] block pair — the scan body for a stage.
+
+    Swin stages are homogeneous runs of blocks alternating shift 0 and ws//2;
+    scanning over PAIRS (depth/2 iterations) collapses the unrolled per-block
+    HLO to a single body per stage. This matters doubly on this setup: the
+    18-block stage of swin-s/b/l dominates both compile time and the size of
+    the serialized program shipped through the remote-compile tunnel (which
+    rejects oversized requests). Per-block stochastic-depth rates ride in as
+    scan inputs `dpr2` (traced), so the linear depth scaling survives the scan.
+    """
+
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    use_drop_path: bool = False
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, dpr2: Array):
+        common = dict(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            mlp_ratio=self.mlp_ratio,
+            drop=self.drop,
+            attn_drop=self.attn_drop,
+            use_drop_path=self.use_drop_path,
+            deterministic=self.deterministic,
+        )
+        x = SwinBlock(shift=0, name="blk0", **common)(x, dpr2[0])
+        x = SwinBlock(shift=self.window_size // 2, name="blk1", **common)(
+            x, dpr2[1]
+        )
+        return x, None
 
 
 class PatchMerging(nn.Module):
@@ -227,19 +294,30 @@ class SwinTransformer(nn.Module):
         outs = []
         dim = embed_dim
         for stage, (depth, heads) in enumerate(zip(depths, num_heads)):
-            for blk in range(depth):
-                x = SwinBlock(
-                    dim=dim,
-                    num_heads=heads,
-                    window_size=self.window_size,
-                    shift=0 if blk % 2 == 0 else self.window_size // 2,
-                    drop=self.drop_rate,
-                    attn_drop=self.attn_drop_rate,
-                    drop_path=dpr[blk_idx],
-                    deterministic=det,
-                    name=f"stage{stage}_block{blk}",
-                )(x)
-                blk_idx += 1
+            assert depth % 2 == 0, "swin stages alternate shift/no-shift pairs"
+            npairs = depth // 2
+            dpr_stage = jnp.asarray(
+                dpr[blk_idx:blk_idx + depth], jnp.float32
+            ).reshape(npairs, 2)
+            scanned = nn.scan(
+                SwinBlockPair,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0,
+                out_axes=0,
+                length=npairs,
+            )
+            x, _ = scanned(
+                dim=dim,
+                num_heads=heads,
+                window_size=self.window_size,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                use_drop_path=(not det) and self.drop_path_rate > 0.0,
+                deterministic=det,
+                name=f"stage{stage}_pairs",
+            )(x, dpr_stage)
+            blk_idx += depth
             if stage in self.out_indices:
                 out = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage}")(x)
                 outs.append(out)

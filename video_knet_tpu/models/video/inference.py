@@ -99,11 +99,16 @@ def make_device_tracker_frame_step(
         )
         return payload, st
 
+    # `variables` rides as a jit ARGUMENT, not a closure: closed-over device
+    # arrays are embedded in the serialized program shipped to the compiler,
+    # which both bloats the compile payload past what the remote-compile
+    # transport accepts for large backbones (Swin-B ~0.5 GB fp32) and defeats
+    # compile-cache reuse across checkpoints.
     @jax.jit
-    def step(img, prev_obj_feats, track_state, is_first):
+    def _step(vars_, img, prev_obj_feats, track_state, is_first):
         isf = jnp.asarray(is_first)
         out = model.apply(
-            variables, img, prev_obj_feats, isf, method=VideoKNet.test_step
+            vars_, img, prev_obj_feats, isf, method=VideoKNet.test_step
         )
         pred = vps_decode(
             out["rpn_out"], out["stage_outs"], out["track_obj_feats"], cfg,
@@ -130,6 +135,9 @@ def make_device_tracker_frame_step(
         payload["track_state"] = st
         return payload
 
+    def step(img, prev_obj_feats, track_state, is_first):
+        return _step(variables, img, prev_obj_feats, track_state, is_first)
+
     return step
 
 
@@ -152,10 +160,11 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
     with cfg.test.fast_decode — bilinear pre-merge upsampling (fast_decode=
     False) genuinely changes boundary labels and must decode on device."""
 
+    # weights as a jit argument (see make_device_tracker_frame_step)
     @jax.jit
-    def step(img, prev_obj_feats, is_first):
+    def _step(vars_, img, prev_obj_feats, is_first):
         out = model.apply(
-            variables, img, prev_obj_feats, is_first, method=VideoKNet.test_step
+            vars_, img, prev_obj_feats, is_first, method=VideoKNet.test_step
         )
         decode_hw = None if compact_host else out_hw
         pred = vps_decode(
@@ -195,6 +204,9 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
             semantic_thing=semantic_thing,
             new_obj_feats=out["new_obj_feats"],
         )
+
+    def step(img, prev_obj_feats, is_first):
+        return _step(variables, img, prev_obj_feats, is_first)
 
     return step
 

@@ -134,13 +134,11 @@ class VideoKNet(nn.Module):
         feats = self.backbone(img)
         return feats if self.neck is None else self.neck(feats)
 
-    def run_branch(
-        self, img: Array, previous_obj_feats: Array | None = None
-    ) -> BranchOutput:
-        """Full K-Net on one frame; linking at the last stage when previous given."""
+    def _stages(
+        self, rpn_out, previous_obj_feats: Array | None
+    ) -> tuple[list, Array | None]:
+        """The iterative kernel-update stages on one branch's RPN outputs."""
         cfg = self.cfg
-        fpn = self.extract_feat(img)
-        rpn_out = self.rpn_head(fpn)
         outs = []
         object_feats = rpn_out.proposal_feats
         mask_preds = rpn_out.mask_preds
@@ -154,6 +152,15 @@ class VideoKNet(nn.Module):
             outs.append(StageOutput(cls_score, mask_preds, scaled, object_feats))
             if track is not None:
                 obj_track = track
+        return outs, obj_track
+
+    def run_branch(
+        self, img: Array, previous_obj_feats: Array | None = None
+    ) -> BranchOutput:
+        """Full K-Net on one frame; linking at the last stage when previous given."""
+        fpn = self.extract_feat(img)
+        rpn_out = self.rpn_head(fpn)
+        outs, obj_track = self._stages(rpn_out, previous_obj_feats)
         return BranchOutput(rpn_out, outs, obj_track)
 
     def __call__(
@@ -172,11 +179,36 @@ class VideoKNet(nn.Module):
         (knet_quansi_dense_roi_gt_box_joint_train.py:390-431) — `gt_masks` /
         `ref_gt_masks` [B, G, h, w] are required then.
         """
-        ref = self.run_branch(ref_img, None)
+        # ONE batched backbone+neck+RPN pass over [ref; key]: identical math to
+        # two per-branch passes (BN runs norm_eval/frozen in release configs),
+        # but the backbone sees an effective batch of 2B (better MXU
+        # utilization at b=1) and the traced program carries ONE backbone
+        # graph instead of two — which also keeps the serialized HLO small
+        # enough for the remote-compile transport on big backbones.
+        b = img.shape[0]
+        both = jnp.concatenate([ref_img, img], axis=0)
+        rpn_both = self.rpn_head(self.extract_feat(both))
+
+        def rpn_half(sl: slice) -> RPNOutputs:
+            return RPNOutputs(
+                proposal_feats=rpn_both.proposal_feats[sl],
+                x_feats=rpn_both.x_feats[sl],
+                mask_preds=rpn_both.mask_preds[sl],
+                seg_preds=rpn_both.seg_preds[sl],
+                thing_mask_preds=rpn_both.thing_mask_preds[sl],
+                init_kernels=rpn_both.init_kernels,  # unbatched learned kernels
+            )
+
+        rpn_ref, rpn_key = rpn_half(slice(0, b)), rpn_half(slice(b, None))
+        ref_outs, ref_track = self._stages(rpn_ref, None)
+        ref = BranchOutput(rpn_ref, ref_outs, ref_track)
         # previous_detach defaults to False (kernel_update_head.py:53): gradients
         # flow through the ref-branch kernels into the linking attention.
         prev_obj = ref.stage_outs[-1].object_feats
-        key = self.run_branch(img, prev_obj if self.cfg.link_previous else None)
+        key_outs, key_track = self._stages(
+            rpn_key, prev_obj if self.cfg.link_previous else None
+        )
+        key = BranchOutput(rpn_key, key_outs, key_track)
         n = self.cfg.num_proposals
         if self.cfg.track_head_type == "roi_gt_box":
             if gt_masks is None:  # init/shape-inference path

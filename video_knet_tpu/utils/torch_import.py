@@ -133,10 +133,21 @@ def import_torch_knet(
     unconsumed — the guard that a reference VPS checkpoint fully loads."""
     sd = TrackedStateDict(dict(state_dict))
     params: dict = {}
-    bb_params, bb_stats = import_torch_resnet(sd, prefix="backbone.")
-    params["backbone"] = bb_params
+    if any(k.startswith("backbone.patch_embed.") for k in sd):
+        # swin-backbone joint-train checkpoint (the Swin-B VIP-Seg / KITTI
+        # configs): route the backbone subtree through the swin importer
+        bb_keys = [k for k in sd if k.startswith("backbone.")]
+        params["backbone"] = import_torch_swin(
+            {k: dict.__getitem__(sd, k) for k in bb_keys}, strict=strict
+        )
+        for k in bb_keys:
+            sd.mark(k)
+        stats = {}
+    else:
+        bb_params, bb_stats = import_torch_resnet(sd, prefix="backbone.")
+        params["backbone"] = bb_params
+        stats = {"backbone": bb_stats}
     params["neck"] = import_torch_fpn(sd, prefix="neck.")
-    stats = {"backbone": bb_stats}
 
     rpn: dict = {}
     _put(rpn, ("init_kernels",),
@@ -276,21 +287,38 @@ def import_torch_swin(
             pe = pe.reshape(1, g, g, pe.shape[-1])
         _put(p, ("absolute_pos_embed",), pe)
 
+    # per-block trees, then restacked into the scan layout
+    # stage{i}_pairs/blk{j%2}/<leaf> with leading axis j//2 (models/swin.py
+    # scans over [no-shift, shift] block pairs)
+    blocks: dict[tuple[int, int], dict] = {}
     for key in list(sd):
         m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.norm1\.weight$", key)
         if not m:
             continue
-        i, j = m.groups()
+        i, j = int(m.group(1)), int(m.group(2))
         src = f"layers.{i}.blocks.{j}"
-        blk = (f"stage{i}_block{j}",)
-        _ln(sd, src + ".norm1", blk + ("norm1",), p)
-        _ln(sd, src + ".norm2", blk + ("norm2",), p)
-        _linear(sd, src + ".attn.qkv", blk + ("attn", "qkv"), p)
-        _linear(sd, src + ".attn.proj", blk + ("attn", "proj"), p)
-        _put(p, blk + ("attn", "relative_position_bias_table"),
+        b: dict = {}
+        _ln(sd, src + ".norm1", ("norm1",), b)
+        _ln(sd, src + ".norm2", ("norm2",), b)
+        _linear(sd, src + ".attn.qkv", ("attn", "qkv"), b)
+        _linear(sd, src + ".attn.proj", ("attn", "proj"), b)
+        _put(b, ("attn", "relative_position_bias_table"),
              _t2j(sd[src + ".attn.relative_position_bias_table"]))
-        _linear(sd, src + ".mlp.fc1", blk + ("mlp_fc1",), p)
-        _linear(sd, src + ".mlp.fc2", blk + ("mlp_fc2",), p)
+        _linear(sd, src + ".mlp.fc1", ("mlp_fc1",), b)
+        _linear(sd, src + ".mlp.fc2", ("mlp_fc2",), b)
+        blocks[(i, j)] = b
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    for i in sorted({s for s, _ in blocks}):
+        js = sorted(j for s, j in blocks if s == i)
+        pairs: dict = {}
+        for parity, nm in ((0, "blk0"), (1, "blk1")):
+            trees = [blocks[(i, j)] for j in js if j % 2 == parity]
+            pairs[nm] = _jax.tree_util.tree_map(
+                lambda *xs: _jnp.stack(xs), *trees
+            )
+        p[f"stage{i}_pairs"] = pairs
 
     for key in list(sd):
         m = re.match(r"layers\.(\d+)\.downsample\.reduction\.weight$", key)
