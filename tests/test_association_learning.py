@@ -1,0 +1,221 @@
+"""Association learning end-to-end (VERDICT r2 item 6).
+
+Proves the LEARNED quasi-dense embedding separates instances through the real
+train -> online-inference -> STQ path: synthetic videos with two same-class
+blobs crossing paths, short joint train of the TOY model (link_previous=False
+— no kernel linking, so identity flows ONLY through the association
+embedding, knet_quansi_dense_embed_fc_toy_exp.py:15 / README.md:114-117),
+then the full online pipeline and STQ/AQ scoring. The test fails when
+- tracked AQ is not meaningfully above a per-frame shuffled-id baseline, or
+- ablating loss_track to zero weight (untrained random embeddings) does not
+  lose association quality.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from PIL import Image
+
+from video_knet_tpu.config import TestCfg, TrackerConfig, TrackHeadConfig, VideoKNetConfig
+from video_knet_tpu.models.video.knet_vps import VideoKNet
+from video_knet_tpu.train.train_state import create_train_state
+from video_knet_tpu.train.vps import make_vps_loss_fn
+
+HW = (64, 96)
+N_FRAMES = 10
+
+
+def _write_moving_kitti(root, n_frames=N_FRAMES, hw=HW):
+    """One sequence: two SAME-CLASS person blobs with LARGE per-frame motion
+    (opposite directions, they also swap rows mid-sequence) over a road
+    background. The big jumps are the point: a detection's raw kernel features
+    are position-dominated, so an UNTRAINED embedding projection is
+    inconsistent frame-to-frame and the tracker churns ids — only an
+    embedding TRAINED for cross-frame invariance (the quasi-dense contrastive
+    loss, fed by exactly these (key, ref) motion pairs) carries identity.
+    The blobs differ in appearance (color), the legitimate invariant cue —
+    same class, so class gating cannot separate them."""
+    d = root / "video_sequence" / "train"
+    d.mkdir(parents=True, exist_ok=True)
+    h, w = hw
+    # blobs must stay several pixels wide at the stride-8 mask resolution
+    bh, bw = 26, 30
+    for f in range(n_frames):
+        img = np.full((*hw, 3), 90, np.uint8)
+        pan = np.zeros((*hw, 3), np.uint8)
+        pan[..., 0] = 0  # road everywhere
+        # large horizontal jumps (~7 px/frame at 96 wide = ~25% of blob width),
+        # and the blobs SWAP rows halfway — position cannot anchor identity
+        xa = 2 + int((w - bw - 4) * f / (n_frames - 1))
+        xb = (w - bw - 2) - int((w - bw - 4) * f / (n_frames - 1))
+        ya, yb = (2, 34) if f < n_frames // 2 else (34, 2)
+        for (y0, x0, inst, color) in ((ya, xa, 1, (200, 40, 40)),
+                                      (yb, xb, 2, (40, 160, 220))):
+            img[y0:y0 + bh, x0:x0 + bw] = color
+            pan[y0:y0 + bh, x0:x0 + bw, 0] = 11  # person
+            pan[y0:y0 + bh, x0:x0 + bw, 2] = inst
+        Image.fromarray(img).save(d / f"000000_{f:06d}_leftImg8bit.png")
+        Image.fromarray(pan).save(d / f"000000_{f:06d}_panoptic.png")
+    return root
+
+
+def _eval_cfg(cfg):
+    """Short-overfit eval: relax detection/track spawn thresholds (scores of
+    a few-hundred-step model sit below the release thresholds; association
+    quality, not calibration, is under test)."""
+    return dataclasses.replace(
+        cfg,
+        test=TestCfg(instance_score_thr=0.05,
+                     max_per_img=min(100, cfg.num_proposals)),
+        # match_score_thr 0.35 not the release 0.5: with only ~2 memo entries
+        # the bisoftmax spreads mass over 2 candidates, so a confident match
+        # sits near 0.5 exactly (boundary); release-scale scenes have 10-100
+        # candidates where 0.5 is a high bar
+        tracker=TrackerConfig(init_score_thr=0.08, obj_score_thr=0.05,
+                              match_score_thr=0.35),
+    )
+
+
+def _train(cfg, ds, steps, seed=0):
+    from video_knet_tpu.data.loader import VPSTrainLoader
+
+    loader = VPSTrainLoader(ds, cfg, batch_size=1, crop_hw=HW, seed=seed,
+                            num_threads=2, process_index=0, process_count=1)
+    model = VideoKNet(cfg, train=True)
+    batches = iter(loader)
+    b0 = next(batches)
+    variables = model.init(jax.random.PRNGKey(seed), b0.img, b0.ref_img)
+    # the measured short-overfit recipe of test_convergence's mini-real test
+    # (plain adam 1e-3, default proposal count): PQ turns nonzero ~150 steps
+    tx = optax.adam(1e-3)
+    state = create_train_state(variables, tx)
+    loss_fn = make_vps_loss_fn(model, cfg)
+
+    @jax.jit
+    def step(state, batch):
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state._replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_bs, opt_state=new_opt,
+        ), total
+
+    def run(state, n_steps):
+        n = 0
+        total = None
+        while n < n_steps:
+            for batch in loader:
+                state, total = step(state, batch)
+                n += 1
+                if n >= n_steps:
+                    break
+        assert np.isfinite(float(total))
+        return state
+
+    return run(state, steps), run
+
+
+def _track_frames(cfg, state, ds):
+    """Run the online pipeline; return per-frame (sem, trk, gt_sem, gt_inst)."""
+    from video_knet_tpu.data.panoptic_png import decode_panoptic_ann, load_png
+    from video_knet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from video_knet_tpu.models.video.inference import VPSInferencePipeline
+
+    cfg = _eval_cfg(cfg)
+    eval_model = VideoKNet(cfg, train=False)
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    pipe = VPSInferencePipeline(eval_model, eval_vars, cfg, out_hw=HW)
+    samples = [s for s, _ in ds.iter_test()]
+    frames = (
+        jnp.asarray(
+            (load_png(s.img).astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+        )[None]
+        for s in samples
+    )
+    out = []
+    for s, res in zip(samples, pipe.run_sequence(frames)):
+        gt_sem, gt_inst = decode_panoptic_ann(s.ann, "kitti_rgb")
+        out.append((res.semantic_map.astype(np.int64),
+                    res.track_map.astype(np.int64),
+                    gt_sem.astype(np.int64), gt_inst.astype(np.int64)))
+    return out
+
+
+def _aq(frames_data, shuffle_seed=None):
+    """STQ over the sequence; optionally shuffle pred ids per frame."""
+    from video_knet_tpu.eval.stq import STQuality
+
+    stq = STQuality(num_classes=19, things_list=[11, 13], ignore_label=255,
+                    label_bit_shift=16, offset=2**25)
+    rng = np.random.RandomState(shuffle_seed or 0)
+    for t, (sem, trk, gt_sem, gt_inst) in enumerate(frames_data):
+        if shuffle_seed is not None:
+            ids = np.unique(trk[trk > 0])
+            if len(ids):
+                # per-frame random relabeling destroys temporal identity
+                perm = rng.permutation(len(ids)) + 1000 * (t + 1)
+                lut = np.zeros(trk.max() + 1, np.int64)
+                lut[ids] = perm
+                trk = lut[trk]
+        stq.update_state((gt_sem << 16) + gt_inst, (sem << 16) + trk, 0)
+    r = stq.result()
+    return float(r["AQ"]), float(r["STQ"])
+
+
+@pytest.mark.slow
+def test_learned_association_beats_shuffled_and_ablated(tmp_path):
+    _write_moving_kitti(tmp_path)
+    from video_knet_tpu.data.datasets import KittiStepDVPS
+
+    ds = KittiStepDVPS(str(tmp_path), split="train", ref_seq_index=[-1, 1])
+    # TOY model: association via the embedding ONLY (no kernel linking),
+    # knet_quansi_dense_embed_fc_toy_exp.py:15 / README.md:114-117.
+    # norm_eval=False: the release configs freeze BN because they start from
+    # ImageNet weights; training FROM SCRATCH with frozen init-stats BN leaves
+    # the network unnormalized and a high-lr overfit blows activations up to
+    # ~1e20 (diverges). Live BN is the from-scratch setting.
+    cfg = VideoKNetConfig(max_insts=4, link_previous=False, norm_eval=False)
+    # detection onset is ~420 steps at this lr (measured); extend in bounded
+    # chunks until the blobs are detected (same pattern as test_convergence's
+    # PQ-threshold loop)
+    state, resume = _train(cfg, ds, steps=420)
+    data = _track_frames(cfg, state, ds)
+    for _ in range(3):
+        if all((trk > 0).any() for _, trk, _, _ in data):
+            break
+        state = resume(state, 120)
+        data = _track_frames(cfg, state, ds)
+    aq, stq_val = _aq(data)
+    aq_shuf, _ = _aq(data, shuffle_seed=1)
+    assert np.isfinite(stq_val)
+    # tracking must carry identity: meaningfully above the shuffled baseline
+    # (measured point: AQ 0.57 vs shuffled 0.07)
+    assert aq > 0.25, f"AQ collapsed: {aq}"
+    assert aq > aq_shuf + 0.1, f"AQ {aq} not above shuffled {aq_shuf}"
+
+    # ablation: zero track-loss weights -> embeddings are untrained
+    # projections, position-dominated and inconsistent under the large
+    # per-frame motion -> ids anchor on position and break at the row swap
+    # (measured point: AQ 0.17 vs 0.57 trained)
+    cfg_abl = dataclasses.replace(
+        cfg, track=TrackHeadConfig(loss_track_weight=0.0,
+                                   loss_track_aux_weight=0.0),
+    )
+    state_abl, resume_abl = _train(cfg_abl, ds, steps=420)
+    data_abl = _track_frames(cfg_abl, state_abl, ds)
+    for _ in range(3):
+        if all((trk > 0).any() for _, trk, _, _ in data_abl):
+            break
+        state_abl = resume_abl(state_abl, 120)
+        data_abl = _track_frames(cfg_abl, state_abl, ds)
+    aq_abl, _ = _aq(data_abl)
+    assert aq > aq_abl + 0.05, (
+        f"ablating loss_track did not hurt association: {aq} vs {aq_abl}"
+    )

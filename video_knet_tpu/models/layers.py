@@ -40,7 +40,13 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5)(x)
+        # use_fast_variance=False: the one-pass E[x^2]-E[x]^2 form returns
+        # inf-inf = NaN for large-but-finite inputs (|x| >~ 1e19 in fp32);
+        # conv stacks can transiently reach that under aggressive from-scratch
+        # overfits. The two-pass form degrades gracefully instead.
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=1e-5, use_fast_variance=False
+        )(x)
 
 
 class ConvNormAct(nn.Module):
@@ -69,7 +75,8 @@ class ConvNormAct(nn.Module):
             use_bias=use_bias,
         )(x)
         if self.norm == "gn":
-            x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
+            # two-pass variance: see GroupNorm32
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, use_fast_variance=False)(x)
         elif self.norm == "ln":
             x = nn.LayerNorm(epsilon=1e-5)(x)
         if self.act is not None:
