@@ -170,3 +170,34 @@ def test_loader_rank_sharding(tmp_path):
         np.testing.assert_array_equal(i, full[2 * k][0])
     for k, (i, _, _) in enumerate(r1):
         np.testing.assert_array_equal(i, full[2 * k + 1][0])
+
+
+def test_loader_abandoned_iteration_stops_producer(tmp_path):
+    """Breaking out of a loader loop must shut the producer thread down —
+    leaked producers (blocked forever on q.put) used to pile up across the
+    suite and destabilize the process."""
+    import threading
+    import time
+
+    from video_knet_tpu.config import VideoKNetConfig
+    from video_knet_tpu.data.datasets import KittiStepDVPS
+    from video_knet_tpu.data.loader import VPSTrainLoader
+
+    _write_fake_kitti(tmp_path, n_seqs=2, n_frames=6)
+    cfg = VideoKNetConfig(max_insts=4)
+    ds = KittiStepDVPS(str(tmp_path), split="train")
+    loader = VPSTrainLoader(ds, cfg, batch_size=1, crop_hw=(64, 96), seed=0,
+                            num_threads=2, process_index=0, process_count=1,
+                            prefetch=1)
+
+    def alive():
+        return [t for t in threading.enumerate()
+                if t.name.startswith("vps-loader-producer")]
+
+    for _ in range(3):
+        for batch in loader:
+            break  # abandon mid-epoch (plenty of batches left)
+    deadline = time.time() + 15
+    while alive() and time.time() < deadline:
+        time.sleep(0.1)
+    assert not alive(), f"leaked producer threads: {alive()}"

@@ -121,6 +121,19 @@ class VPSTrainLoader:
         my_batches = list(range(self.process_index, n_batches, self.process_count))
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         bsz = self.batch_size
+        # consumers (especially tests) abandon the generator mid-epoch; without
+        # a stop signal the producer blocks on q.put forever and leaks its
+        # thread pool into the rest of the process
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -141,22 +154,32 @@ class VPSTrainLoader:
                         if b is None:
                             break
                         submit(b)
-                    while pending:
+                    while pending and not stop.is_set():
                         futs = pending.pop(0)
-                        q.put(self._assemble([f.result() for f in futs]))
+                        if not put(self._assemble([f.result() for f in futs])):
+                            return
                         b = next(it, None)
                         if b is not None:
                             submit(b)
-                q.put(None)
+                put(None)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True, name="vps-loader-producer")
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
-            if isinstance(batch, BaseException):
-                raise batch
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+            try:  # unblock a producer waiting on a full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)

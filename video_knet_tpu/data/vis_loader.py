@@ -153,6 +153,18 @@ class VISTrainLoader:
         n_batches = len(order) // bsz
         my_batches = list(range(self.process_index, n_batches, self.process_count))
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # stop signal so abandoning the generator mid-epoch cannot leave the
+        # producer blocked on q.put forever (same contract as data/loader.py)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -173,25 +185,35 @@ class VISTrainLoader:
                         if b is None:
                             break
                         submit(b)
-                    while pending:
+                    while pending and not stop.is_set():
                         futs = pending.pop(0)
-                        q.put(self._assemble([f.result() for f in futs]))
+                        if not put(self._assemble([f.result() for f in futs])):
+                            return
                         b = next(it, None)
                         if b is not None:
                             submit(b)
-                q.put(None)
+                put(None)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
 
-        th = threading.Thread(target=producer, daemon=True)
+        th = threading.Thread(target=producer, daemon=True, name="vis-loader-producer")
         th.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
-            if isinstance(batch, BaseException):
-                raise batch
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+            try:  # unblock a producer waiting on a full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            th.join(timeout=10.0)
 
 
 def _transform_mask(mask: np.ndarray, p, canvas_hw: tuple[int, int]) -> np.ndarray:
