@@ -219,3 +219,40 @@ def test_instance_decode_and_coco_results(tmp_path):
     for e in loaded:
         m = decode_mask(e["segmentation"])
         assert m.shape == (64, 96)
+
+
+def test_image_deformable_neck_config_and_forward():
+    """COCO deformable release configs (configs/det/coco/knet_s3_r50_deformable
+    _fpn_ms-3x_coco.py, knet_s3_swin-b_deformable_fpn_ms-3x_coco.py) are
+    registered and the image model runs with the MSDeformAttnPixelDecoder neck
+    (_base_/models/knet_s3_r50_deformable_fpn.py)."""
+    import dataclasses
+
+    from video_knet_tpu.configs import get_config
+
+    cfg = get_config("knet_s3_r50_deformable_fpn_ms-3x_coco")
+    assert cfg.neck_type == "msdeform_pixel_decoder"
+    assert cfg.num_thing_classes == 80 and cfg.num_stuff_classes == 0
+    swinb = get_config("knet_s3_swin-b_deformable_fpn_ms-3x_coco")
+    assert swinb.backbone == "swin_base"
+    assert swinb.neck_type == "msdeform_pixel_decoder"
+
+    # tiny forward smoke through the deformable neck (image path)
+    cfg = dataclasses.replace(
+        cfg, num_proposals=8, max_insts=4, num_thing_classes=5,
+        rpn=dataclasses.replace(
+            cfg.rpn, num_proposals=8, num_classes=5, num_thing_classes=5,
+        ),
+        head=dataclasses.replace(
+            cfg.head, num_classes=5, num_thing_classes=5,
+            feedforward_channels=256,
+        ),
+    )
+    model = KNet(cfg, train=False)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = KNet(cfg, train=True).init(jax.random.PRNGKey(0), img)
+    assert "layer0" in variables["params"]["neck"]
+    rpn_out, stage_outs = model.apply(variables, img, mutable=False)
+    n_tot = cfg.num_proposals  # no stuff rows in instance mode
+    assert stage_outs[-1].cls_score.shape == (1, n_tot, 5)
+    assert np.isfinite(np.asarray(stage_outs[-1].mask_preds)).all()

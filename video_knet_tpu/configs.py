@@ -75,6 +75,23 @@ def knet_s3_r50_fpn_coco_instance() -> KNetConfig:
     )
 
 
+def knet_s3_r50_deformable_fpn_coco_instance() -> KNetConfig:
+    """configs/det/coco/knet_s3_r50_deformable_fpn_ms-3x_coco.py — COCO
+    instance seg with the MSDeformAttnPixelDecoder neck
+    (_base_/models/knet_s3_r50_deformable_fpn.py)."""
+    return dataclasses.replace(
+        knet_s3_r50_fpn_coco_instance(), neck_type="msdeform_pixel_decoder"
+    )
+
+
+def knet_s3_swin_b_deformable_fpn_coco_instance() -> KNetConfig:
+    """configs/det/coco/knet_s3_swin-b_deformable_fpn_ms-3x_coco.py."""
+    return dataclasses.replace(
+        knet_s3_r50_deformable_fpn_coco_instance(), backbone="swin_base",
+        backbone_drop_path_rate=0.3,
+    )
+
+
 def video_knet_s3_r50_kitti_step_joint_train() -> VideoKNetConfig:
     """configs/det/video_knet_kitti_step/video_knet_s3_r50_rpn_1x_kitti_step_
     sigmoid_stride2_mask_embed_link_ffn_joint_train.py — THE flagship VPS model."""
@@ -202,6 +219,10 @@ CONFIGS: dict[str, Callable] = {
     "knet_s3_swin_l_fpn_cityscapes_step": knet_s3_swin_l_fpn_cityscapes_step,
     "knet_s3_r50_fpn_ms-3x_coco-panoptic": knet_s3_r50_fpn_coco_panoptic,
     "knet_s3_r50_fpn_ms-3x_coco": knet_s3_r50_fpn_coco_instance,
+    "knet_s3_r50_deformable_fpn_ms-3x_coco": knet_s3_r50_deformable_fpn_coco_instance,
+    "knet_s3_swin-b_deformable_fpn_ms-3x_coco": (
+        knet_s3_swin_b_deformable_fpn_coco_instance
+    ),
     "video_knet_s3_r50_rpn_1x_kitti_step_sigmoid_stride2_mask_embed_link_ffn_joint_train": (
         video_knet_s3_r50_kitti_step_joint_train
     ),
