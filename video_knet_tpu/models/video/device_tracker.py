@@ -106,25 +106,43 @@ def thing_detections_from_decode(
     scores: Array,  # [K]
     semantic_thing: Array,  # [h, w] bool stuff-argmax filter
     scale_yx: tuple[float, float],  # out_hw / merge_hw (static)
+    num_pan_ids: int | None = None,  # static max pan value (total segments)
 ) -> Array:
     """Per-candidate xyxy+score boxes from the panoptic id map, on device.
 
     The host tracker path materializes [K, h, w] masks in numpy and loops
-    masks_to_boxes (inference.py host `_finish_frame`); here the semantic-
-    filtered segment support reduces to masked min/max coordinate reductions
-    (boxes in out_hw coordinates, matching the host's scale factors; empty
-    segments give zero boxes like tracker.masks_to_boxes)."""
+    masks_to_boxes (inference.py host `_finish_frame`); here each pixel is
+    routed to its candidate row by a [num_pan_ids+1] lookup table and the
+    boxes come out of O(HW) segment min/max reductions — not the K x HW
+    broadcast-compare, which moves ~100x more HBM (boxes in out_hw
+    coordinates, matching the host's scale factors; empty segments give zero
+    boxes like tracker.masks_to_boxes)."""
     h, w = pan.shape
-    member = (pan[None] == seg_ids[:, None, None]) & valid[:, None, None] \
-        & (seg_ids[:, None, None] > 0) & semantic_thing[None]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    big = jnp.float32(1e9)
-    y0 = jnp.min(jnp.where(member, ys, big), axis=(1, 2))
-    x0 = jnp.min(jnp.where(member, xs, big), axis=(1, 2))
-    y1 = jnp.max(jnp.where(member, ys, -big), axis=(1, 2))
-    x1 = jnp.max(jnp.where(member, xs, -big), axis=(1, 2))
-    nonempty = jnp.any(member, axis=(1, 2))
+    k = seg_ids.shape[0]
+    if num_pan_ids is None:
+        num_pan_ids = k  # seg ids are 1..K when no larger id space is given
+    ok = valid & (seg_ids > 0)
+    # segment id -> candidate row (k = "no candidate" dump row); invalid
+    # candidates scatter out of bounds and are dropped
+    lut = jnp.full((num_pan_ids + 1,), k, jnp.int32).at[
+        jnp.where(ok, seg_ids, num_pan_ids + 1)
+    ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    cand = jnp.where(
+        semantic_thing, lut[jnp.clip(pan, 0, num_pan_ids)], k
+    ).reshape(-1)
+    yy = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)
+    ).reshape(-1)
+    xx = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)
+    ).reshape(-1)
+    y0 = jax.ops.segment_min(yy, cand, num_segments=k + 1)[:k]
+    x0 = jax.ops.segment_min(xx, cand, num_segments=k + 1)[:k]
+    y1 = jax.ops.segment_max(yy, cand, num_segments=k + 1)[:k]
+    x1 = jax.ops.segment_max(xx, cand, num_segments=k + 1)[:k]
+    nonempty = (
+        jax.ops.segment_sum(jnp.ones_like(yy), cand, num_segments=k + 1)[:k] > 0
+    )
     sy, sx = scale_yx
     box = jnp.stack(
         [x0 * sx, y0 * sy, (x1 + 1) * sx, (y1 + 1) * sy], axis=1

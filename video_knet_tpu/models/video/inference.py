@@ -66,10 +66,12 @@ def make_device_tracker_frame_step(
         res = pred.result
         pan = res.panoptic_seg
         valid = res.keep[:kth] & res.isthing[:kth]
+        ktot = res.seg_ids.shape[0]
         sy = out_hw[0] / pan.shape[0]
         sx = out_hw[1] / pan.shape[1]
         boxes5 = dt.thing_detections_from_decode(
-            pan, res.seg_ids[:kth], valid, res.scores[:kth], semth, (sy, sx)
+            pan, res.seg_ids[:kth], valid, res.scores[:kth], semth, (sy, sx),
+            num_pan_ids=ktot,
         )
         det_emb = emb[pred.thing_mask_idx]  # [kth, D] source-proposal embeds
         st = dt.reset_state(st, isf)
@@ -78,20 +80,22 @@ def make_device_tracker_frame_step(
         )
         # host id convention (tracker.match callers): +1, suppressed/-1 -> 0
         tid = jnp.maximum(ids + 1, 0) * survived.astype(jnp.int32)
-        ktot = res.seg_ids.shape[0]
         lut_t = jnp.zeros((ktot + 1,), jnp.int32).at[
             jnp.where(tid > 0, res.seg_ids[:kth], 0)
         ].set(tid)
-        track_map = lut_t[jnp.clip(pan, 0, ktot)]
         cls_of = jnp.take(cls_table, res.labels)
         lut_s = jnp.zeros((ktot + 1,), jnp.int32).at[
             jnp.where(res.keep, res.seg_ids, 0)
         ].set(jnp.where(res.keep, cls_of, 0))
-        sem_map = lut_s[jnp.clip(pan, 0, ktot)]
+        # the per-pixel payload is ONE id map; the host reconstructs the
+        # track/semantic maps from the [ktot+1] LUTs (identical int gathers).
+        # Shipping lut_t[pan]/lut_s[pan] as full maps tripled the bytes per
+        # frame and made the fetch the serving bottleneck over slow links.
+        pan_dtype = jnp.uint8 if ktot <= 255 else jnp.int16
         payload = dict(
-            pan=pan.astype(jnp.int16),
-            sem=sem_map.astype(jnp.int16),
-            track=track_map,
+            pan=pan.astype(pan_dtype),
+            lut_track=lut_t,
+            lut_sem=lut_s.astype(jnp.int16),
             keep=res.keep, seg_ids=res.seg_ids.astype(jnp.int16),
             labels=res.labels.astype(jnp.int16), scores=res.scores,
             isthing=res.isthing, areas=res.areas,
@@ -416,9 +420,10 @@ class VPSInferencePipeline:
         from video_knet_tpu.data.transforms import nearest_resize
         from video_knet_tpu.ops.panoptic import PanopticResult
 
-        if "track" in host:  # device-tracker payload: maps are ready-made
+        if "lut_track" in host:  # device-tracker payload: id map + LUTs
+            pan_ids = np.asarray(host["pan"], np.int32)
             res = PanopticResult(
-                panoptic_seg=np.asarray(host["pan"], np.int32),
+                panoptic_seg=pan_ids,
                 keep=np.asarray(host["keep"]),
                 seg_ids=np.asarray(host["seg_ids"], np.int32),
                 labels=np.asarray(host["labels"], np.int32),
@@ -428,14 +433,16 @@ class VPSInferencePipeline:
                 instance_idx=np.asarray(host["instance_idx"], np.int32),
             )
             pan, segments_info = segments_to_host(res, self.cfg.num_thing_classes)
-            sem = np.asarray(host["sem"], np.int32)
-            track_map = np.asarray(host["track"], np.int64)
             oh, ow = self.out_hw
             self.frame_id += 1
+            # ONE upsample of the id map, then the LUT gathers at out res —
+            # nearest resize commutes with pointwise LUTs, so this equals the
+            # device-side lut[pan] maps upsampled (3 resizes -> 1)
             if pan.shape != (oh, ow):
                 pan = nearest_resize(pan, (oh, ow))
-                sem = nearest_resize(sem, (oh, ow))
-                track_map = nearest_resize(track_map, (oh, ow))
+            pan_c = np.minimum(pan, len(host["lut_sem"]) - 1)
+            sem = np.asarray(host["lut_sem"], np.int32)[pan_c]
+            track_map = np.asarray(host["lut_track"], np.int32)[pan_c]
             return VPSResult(pan, segments_info, sem, track_map)
 
         if "pred" in host:  # full payload (fast_decode=False: decoded at out_hw)
