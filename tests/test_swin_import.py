@@ -198,3 +198,29 @@ def test_patch_merging_matches_torch():
     }
     ours = PatchMerging(dim).apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_swin_bf16_stage_scan_dtype():
+    """bf16 params + bf16 input must flow bf16 through the scanned stages.
+
+    Regression: the shifted-window additive mask (fp32) and the drop-path
+    keep divisor (fp32 scan input) promoted the shift block of each pair to
+    fp32, flipping the nn.scan carry dtype mid-stage (Swin-B bf16 inference
+    crashed with a scan carry type mismatch)."""
+    from video_knet_tpu.utils.precision import cast_variables
+
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    # eval (shift-mask path)
+    model = SwinTransformer(preset="tiny", window_size=7)
+    variables = cast_variables(model.init(jax.random.PRNGKey(0), x))
+    outs = model.apply(variables, x.astype(jnp.bfloat16))
+    assert all(o.dtype == jnp.bfloat16 for o in outs)
+    # train (traced drop-path rate path)
+    tm = SwinTransformer(preset="tiny", window_size=7, drop_path_rate=0.3,
+                         train=True)
+    tv = cast_variables(tm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    ))
+    outs = tm.apply(tv, x.astype(jnp.bfloat16),
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert all(o.dtype == jnp.bfloat16 for o in outs)

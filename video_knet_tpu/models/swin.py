@@ -114,7 +114,12 @@ class WindowAttention(nn.Module):
 
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(bw // nw, nw, h, n, n) + mask[None, :, None]
+            # cast the additive mask to the compute dtype: an fp32 mask would
+            # promote the shifted blocks to fp32 while no-shift blocks stay
+            # bf16, breaking the scan carry's dtype invariant under bf16
+            attn = attn.reshape(bw // nw, nw, h, n, n) + mask[None, :, None].astype(
+                attn.dtype
+            )
             attn = attn.reshape(bw, h, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=self.deterministic)
@@ -151,7 +156,9 @@ class SwinBlock(nn.Module):
         keep = 1.0 - rate
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
-        return x * mask.astype(x.dtype) / keep
+        # divide in x.dtype: an fp32 `keep` (traced scan input) would promote
+        # the residual branch and flip the scan carry dtype under bf16
+        return x * mask.astype(x.dtype) / jnp.asarray(keep, x.dtype)
 
     @nn.compact
     def __call__(self, x: Array, drop_path_rate: Array | None = None) -> Array:
