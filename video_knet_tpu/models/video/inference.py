@@ -273,17 +273,24 @@ class VPSInferencePipeline:
                       models/video/tracker.py);
       'unitrack'    — the K-Net + UniTrack baseline (Kalman + appearance,
                       knet/video/knet_uni_track.py:13);
+      'tao'         — the TAO long-tail ablation tracker
+                      (qdtrack/trackers/tao_tracker.py:19);
       'simple' / 'overlap' — the GIoU / mask-IoU greedy matchers
                       (knet/video/tracker.py:14).
     """
 
     def __init__(self, model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
                  thing_ids_in_orig=KITTI_STEP_THING_IDS,
-                 tracker_type: str = "quasi_dense", step_fn=None):
+                 tracker_type: str = "quasi_dense", step_fn=None,
+                 appearance_fn=None):
         self.cfg = cfg
         self.out_hw = out_hw
         self.thing_ids_in_orig = thing_ids_in_orig
         self.tracker_type = tracker_type
+        # UniTrack baseline: a frozen appearance encoder over the raw frame
+        # (models/video/appearance.py, unitrack/mask.py:25) replaces the
+        # learned track-head embeddings for association
+        self.appearance_fn = appearance_fn
         # the device tracker needs the compact/fast decode (id maps at merge
         # resolution); fall back to the host tracker when fast_decode is off
         self.device_tracker = (
@@ -317,6 +324,10 @@ class VPSInferencePipeline:
             return None  # association state lives on device (track_state)
         if self.tracker_type in ("quasi_dense", "quasi_dense_host"):
             return QuasiDenseEmbedTracker(self.cfg.tracker)
+        if self.tracker_type == "tao":
+            from video_knet_tpu.models.video.tao_tracker import TaoTracker
+
+            return TaoTracker()
         if self.tracker_type == "unitrack":
             from video_knet_tpu.models.video.unitrack import MaskAssociationTracker
 
@@ -356,10 +367,14 @@ class VPSInferencePipeline:
         else:
             out = self.step(img, self.prev_obj_feats, jnp.asarray(is_first))
         self.prev_obj_feats = out["new_obj_feats"]
-        return {
+        payload = {
             k: v for k, v in out.items()
             if k not in ("new_obj_feats", "track_state")
         }
+        if self.appearance_fn is not None and self.tracker_type == "unitrack":
+            # rides the same windowed device_get as the rest of the payload
+            payload["app_feat"] = self.appearance_fn(img)
+        return payload
 
     def run_frame(self, img: jnp.ndarray, is_first: bool) -> VPSResult:
         if is_first:
@@ -370,7 +385,8 @@ class VPSInferencePipeline:
         # the remote-TPU tunnel, and still wasteful over PCIe)
         return self._finish_frame(jax.device_get(payload))
 
-    def run_sequence(self, frames, is_first_flags=None, window: int = 8):
+    def run_sequence(self, frames, is_first_flags=None, window: int = 8,
+                     depth: int = 1, stats: list | None = None):
         """Pipelined online inference over an iterable of frames.
 
         Yields one VPSResult per frame. Device steps are enqueued continuously
@@ -378,21 +394,39 @@ class VPSInferencePipeline:
         payloads are fetched `window` frames at a time so the device→host
         round-trip latency amortizes across the window while the NEXT window
         computes. window=1 degrades gracefully to per-frame latency mode; the
-        tracker itself still sees every frame strictly in order."""
-        pending: list | None = None
+        tracker itself still sees every frame strictly in order.
+
+        depth: windows kept in flight before the oldest is fetched (depth=1 =
+        classic double buffering; >1 rides out tunnel-RTT jitter at the cost
+        of latency). stats: optional list; one dict per drained window is
+        appended — {'fetch_s': device_get wall (device wait + transfer),
+        'host_s': host-side _finish_frame wall, 'frames': n} — so serving
+        regressions can be attributed to the wire vs the host."""
+        import collections
+        import time as _time
+
+        pending: collections.deque = collections.deque()
         buf: list = []
 
         def drain(payloads):
-            for h in jax.device_get(payloads):
-                yield self._finish_frame(h)
+            t0 = _time.perf_counter()
+            hosts = jax.device_get(payloads)
+            t1 = _time.perf_counter()
+            results = [self._finish_frame(h) for h in hosts]
+            if stats is not None:
+                stats.append({
+                    "fetch_s": t1 - t0,
+                    "host_s": _time.perf_counter() - t1,
+                    "frames": len(results),
+                })
+            return results
 
         for i, img in enumerate(frames):
             is_first = (i == 0) if is_first_flags is None else is_first_flags[i]
             if is_first and i > 0:
                 # sequence boundary: flush everything, then reset tracker state
-                if pending:
-                    yield from drain(pending)
-                    pending = None
+                while pending:
+                    yield from drain(pending.popleft())
                 if buf:
                     yield from drain(buf)
                     buf = []
@@ -400,12 +434,12 @@ class VPSInferencePipeline:
                 self.reset()
             buf.append(self._step(img, is_first))
             if len(buf) >= max(window, 1):
-                if pending:
-                    yield from drain(pending)
-                pending = buf
+                pending.append(buf)
                 buf = []
-        if pending:
-            yield from drain(pending)
+                while len(pending) > max(depth, 1):
+                    yield from drain(pending.popleft())
+        while pending:
+            yield from drain(pending.popleft())
         if buf:
             yield from drain(buf)
 
@@ -487,7 +521,7 @@ class VPSInferencePipeline:
             inst = res.instance_idx[thing_sel]
             det_embeds = embeds[thing_mask_idx[inst]]
             filt = masks * semantic_thing[None]
-            if self.tracker_type == "quasi_dense":
+            if self.tracker_type in ("quasi_dense", "quasi_dense_host", "tao"):
                 # boxes in out_hw coords (scale-consistent with prior frames)
                 boxes = masks_to_boxes(filt) * np.array([sx, sy, sx, sy])
                 bboxes5 = np.concatenate([boxes, scores[:, None]], axis=1)
@@ -497,6 +531,17 @@ class VPSInferencePipeline:
                 ids = ids + 1
                 ids[ids == -1] = 0  # suppressed (-2 + 1) -> 0
             elif self.tracker_type == "unitrack":
+                if "app_feat" in host:
+                    # frozen appearance features, mask-pooled on the merge-
+                    # resolution candidate masks (unitrack/mask.py:22-46)
+                    from video_knet_tpu.models.video.unitrack import (
+                        mask_pool_embeddings,
+                    )
+
+                    det_embeds = mask_pool_embeddings(
+                        np.asarray(host["app_feat"][0], np.float32),
+                        filt > 0.5,
+                    )
                 ids = self.tracker.step(filt.astype(bool), det_embeds, scores)
                 sel = np.arange(len(ids))
             else:  # simple / overlap
@@ -532,9 +577,17 @@ class MultiStreamVPSPipeline:
 
     def __init__(self, model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
                  n_streams: int, thing_ids_in_orig=KITTI_STEP_THING_IDS,
-                 tracker_type: str = "quasi_dense"):
+                 tracker_type: str = "quasi_dense", host_workers: int = 0):
         self.cfg = cfg
         self.n = n_streams
+        # >0: per-stream _finish_frame runs on a thread pool (streams are
+        # independent; numpy releases the GIL for the heavy gathers). The
+        # 1-core dev box can't show the win — a real TPU host has many cores.
+        self._pool = None
+        if host_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=host_workers)
         self.device_tracker = (
             tracker_type == "quasi_dense" and cfg.test.fast_decode
         )
@@ -578,13 +631,21 @@ class MultiStreamVPSPipeline:
         return jax.tree_util.tree_map(lambda v: v[i], host)
 
     def _finish_round(self, host: dict, flags) -> list[VPSResult]:
-        results = []
         for i in range(self.n):
             if flags[i]:
                 self.streams[i].tracker = self.streams[i]._make_tracker()
                 self.streams[i].frame_id = 0
-            results.append(self.streams[i]._finish_frame(self._slice(host, i)))
-        return results
+        if self._pool is not None:
+            return list(
+                self._pool.map(
+                    lambda i: self.streams[i]._finish_frame(self._slice(host, i)),
+                    range(self.n),
+                )
+            )
+        return [
+            self.streams[i]._finish_frame(self._slice(host, i))
+            for i in range(self.n)
+        ]
 
     def _step(self, imgs, flags):
         if self.device_tracker:
@@ -606,24 +667,40 @@ class MultiStreamVPSPipeline:
         payload = self._step(imgs, flags)
         return self._finish_round(jax.device_get(payload), flags)
 
-    def run_batched_sequence(self, rounds, flags_per_round=None):
+    def run_batched_sequence(self, rounds, flags_per_round=None,
+                             depth: int = 2, stats: list | None = None):
         """Pipelined serving loop: `rounds` yields [B, H, W, 3] frame batches.
 
-        Yields a list of B VPSResults per round. Round t+1's device step is
-        enqueued before round t's payload is fetched, overlapping host work
-        with device compute (same double-buffering as run_sequence)."""
-        pending = None  # (payload, flags)
+        Yields a list of B VPSResults per round. Up to `depth` rounds of
+        device steps stay in flight before the oldest payload is fetched, so
+        host finishing overlaps several rounds of device compute (the device
+        recurrence never waits on the host). stats: optional list, appended
+        one {'fetch_s','host_s'} dict per drained round."""
+        import collections
+        import time as _time
+
+        pending: collections.deque = collections.deque()  # (payload, flags)
+
+        def drain():
+            payload, pflags = pending.popleft()
+            t0 = _time.perf_counter()
+            host = jax.device_get(payload)
+            t1 = _time.perf_counter()
+            out = self._finish_round(host, pflags)
+            if stats is not None:
+                stats.append(
+                    {"fetch_s": t1 - t0, "host_s": _time.perf_counter() - t1}
+                )
+            return out
+
         for t, imgs in enumerate(rounds):
             flags = (
                 np.full((self.n,), t == 0, bool)
                 if flags_per_round is None
                 else np.asarray(flags_per_round[t], bool)
             )
-            cur = (self._step(imgs, flags), flags)
-            if pending is not None:
-                payload, pflags = pending
-                yield self._finish_round(jax.device_get(payload), pflags)
-            pending = cur
-        if pending is not None:
-            payload, pflags = pending
-            yield self._finish_round(jax.device_get(payload), pflags)
+            pending.append((self._step(imgs, flags), flags))
+            while len(pending) > max(depth, 1):
+                yield drain()
+        while pending:
+            yield drain()
