@@ -37,7 +37,20 @@ def parse_args():
     p.add_argument("--size", type=int, nargs=2, default=[384, 1248],
                    help="inference H W (static shape)")
     p.add_argument("--tracker", default="quasi_dense",
-                   choices=["quasi_dense", "unitrack", "simple", "overlap"])
+                   choices=["quasi_dense", "quasi_dense_host", "unitrack",
+                            "tao", "simple", "overlap"])
+    p.add_argument("--appearance", default=None,
+                   choices=[None, "resnet18", "resnet34", "resnet50", "random"],
+                   help="UniTrack frozen appearance encoder (--tracker "
+                        "unitrack): embeddings come from this net over the "
+                        "raw frame instead of the track head")
+    p.add_argument("--appearance-checkpoint", default=None,
+                   help="torchvision-style .pth for the appearance encoder")
+    p.add_argument("--tta-scales", type=float, nargs="*", default=None,
+                   help="multi-scale TTA ratios, e.g. 0.75 1.0 1.25 "
+                        "(MultiScaleFlipAugVideo parity)")
+    p.add_argument("--tta-flip", action="store_true",
+                   help="add horizontal-flip TTA")
     return p.parse_args()
 
 
@@ -72,11 +85,48 @@ def main():
             "batch_stats": loaded.get("batch_stats", variables.get("batch_stats", {})),
         }
 
+    appearance_fn = None
+    if args.appearance:
+        from video_knet_tpu.models.video.appearance import (
+            init_appearance,
+            make_appearance_fn,
+            make_appearance_model,
+        )
+
+        app_model = make_appearance_model(args.appearance)
+        app_vars = init_appearance(app_model, hw=(h, w))
+        if args.appearance_checkpoint:
+            import torch
+
+            from video_knet_tpu.utils.checkpoint import import_torch_resnet
+
+            sd = torch.load(args.appearance_checkpoint, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+            a_params, a_stats = import_torch_resnet(sd, prefix="")
+            app_vars = {"params": a_params, "batch_stats": a_stats}
+        appearance_fn = make_appearance_fn(app_model, app_vars)
+
     thing_ids = ds.thing_ids_in_seg if args.dataset == "kitti_step" else None
     pipe = VPSInferencePipeline(
         model, variables, cfg, out_hw=(h, w), thing_ids_in_orig=thing_ids,
-        tracker_type=args.tracker,
+        tracker_type=args.tracker, appearance_fn=appearance_fn,
     )
+
+    tta_fn = tta_lut = None
+    if args.tta_scales:
+        # MultiScaleFlipAugVideo parity: fuse semantic logits across scales /
+        # flips over the jitted forward (data/tta.py; one compile per scale)
+        from video_knet_tpu.data.tta import (
+            make_tta_semantic_fn,
+            things_first_to_dataset_lut,
+        )
+
+        tta_fn = make_tta_semantic_fn(
+            model, variables, cfg, (h, w), args.tta_scales, flip=args.tta_flip
+        )
+        tta_lut = things_first_to_dataset_lut(
+            cfg.num_thing_classes, cfg.num_stuff_classes, thing_ids
+        )
 
     os.makedirs(args.out, exist_ok=True)
     n = 0
@@ -91,14 +141,14 @@ def main():
             # keep-ratio resize into the static canvas (reference test
             # pipeline: keep_ratio Resize + Pad); crop back to content below
             x, content = keep_ratio_resize_pad(rgb, (h, w))
-            meta.append((rgb.shape[:2], content))
+            meta.append((rgb.shape[:2], content, rgb if tta_fn else None))
             yield jnp.asarray(x)[None]
 
     # windowed pipelined inference: device steps for the next frames overlap
     # the host-side tracking/PNG writing of the previous ones
     for i, res in enumerate(pipe.run_sequence(frames(), flags)):
         sample = pairs[i][0]
-        ori_hw, (ch, cw) = meta[i]
+        ori_hw, (ch, cw), rgb = meta[i]
 
         seq_dir = os.path.join(args.out, "panoptic", str(sample.seq_id))
         final_dir = os.path.join(args.out, "final", str(sample.seq_id))
@@ -108,6 +158,11 @@ def main():
         from video_knet_tpu.data.transforms import nearest_resize
 
         sem = nearest_resize(res.semantic_map.astype(np.int32)[:ch, :cw], ori_hw)
+        if tta_fn is not None:
+            # fused multi-scale semantic map replaces the single-scale one;
+            # the panoptic/track outputs stay single-scale (reference release
+            # configs never fuse instance outputs across scales either)
+            sem = nearest_resize(tta_lut[tta_fn(rgb)][:ch, :cw], ori_hw)
         trk = nearest_resize(res.track_map.astype(np.int32)[:ch, :cw], ori_hw)
         stem = f"{sample.img_id:06d}"
         save_png(os.path.join(seq_dir, stem + "_cat.png"), sem.astype(np.uint8))

@@ -152,6 +152,16 @@ def video_knet_toy_kitti_step() -> VideoKNetConfig:
     return dataclasses.replace(kitti_step_video_config(), link_previous=False)
 
 
+def video_knet_unitrack_kitti_step() -> VideoKNetConfig:
+    """VideoKNetUniTrack baseline (knet/video/knet_uni_track.py:13, the
+    "K-Net + UniTrack" poster-table row): per-frame K-Net detections, no
+    kernel linking / learned track head; association is UniTrack's frozen-
+    appearance Kalman tracker — select tracker_type='unitrack' with an
+    appearance encoder from models/video/appearance.py at serving time
+    (tools/test_step.py --tracker unitrack --appearance resnet18)."""
+    return dataclasses.replace(kitti_step_video_config(), link_previous=False)
+
+
 def video_knet_s3_r50_vipseg() -> VideoKNetConfig:
     """configs/det/video_knet_vipseg/*.py — 124 classes (58 thing / 66 stuff)."""
     return vipseg_video_config()
@@ -242,6 +252,7 @@ CONFIGS: dict[str, Callable] = {
     "video_knet_kitti_step_swin_b": video_knet_s3_swin_b_kitti_step_joint_update,
     "video_knet_kitti_step_swin_l": video_knet_s3_swin_l_kitti_step_joint_update,
     "video_knet_kitti_step_toy": video_knet_toy_kitti_step,
+    "video_knet_kitti_step_unitrack": video_knet_unitrack_kitti_step,
     "video_knet_kitti_step_fuse_track": video_knet_fuse_track_kitti_step,
     "video_knet_kitti_step_roi_gt_box": video_knet_roi_gt_box_kitti_step,
     "video_knet_vipseg_r50": video_knet_s3_r50_vipseg,
