@@ -26,10 +26,14 @@ Subsidiary numbers ride in "extra":
   multi_stream_device_fps — batched 8-stream device step throughput
   multi_stream_e2e_fps    — 8-stream serving end to end (depth-2 pipeline,
                             threaded host finishing) + its fetch/host ms
-  train_step_s            — steady-state VPS train step (b1, fp32 params)
+  train_step_s            — steady-state VPS train step (b1, fp32 — the
+                            reference-comparable baseline)
   train_flops             — XLA cost-analysis FLOPs of that compiled step
   train_mfu               — train_flops / (train_step_s * chip bf16 peak)
-  train_scaling           — {batch: {ms_per_sample, mfu}} for b in 1,2,4,8
+  train_bf16_step_s/_mfu  — the PRODUCTION path: bf16 fwd/bwd over fp32
+                            masters (cfg.bf16_train)
+  train_scaling           — {batch: {ms_per_sample, mfu}} for b in 1,2,4,8,
+                            measured on the bf16 path (train_scaling_dtype)
   vis_clip_fps            — whole-clip VIS decode frames/sec @360x640, T=5
   vis_train_step_s/_mfu   — VIS train step (b1, 5-frame clip) + its MFU
   swinb_vipseg_*          — the Swin-B VIP-Seg flagship @736x1280: e2e fps,
@@ -338,16 +342,36 @@ def sec_train(ctx: Ctx):
         )
 
     step_s, flops, mfu = _time_train_step(train_step, fresh_state(), batch)
-    scaling = {1: {"ms_per_sample": round(step_s * 1e3, 2), "mfu": round(mfu, 4)}}
     RESULT["extra"].update(
         train_step_s=round(step_s, 4),
         train_flops=flops,
         train_mfu=round(mfu, 4),
-        train_scaling={str(k): v for k, v in scaling.items()},
     )
     emit()
 
-    if RUN_SCALING:
+    # the PRODUCTION train path: bf16 forward/backward over fp32 masters
+    # (cfg.bf16_train; fp32 row above is the reference-comparable baseline —
+    # the reference trains fp32, mmcv fp16 hooks unused in release configs)
+    import dataclasses
+
+    cfg16 = dataclasses.replace(cfg, bf16_train=True)
+    model16 = VideoKNet(cfg16, train=True)
+    step16 = make_sharded_train_step(model16, cfg16, tx, mesh)
+    scaling = {}
+    if not _gate("train_bf16", extra_margin_s=240.0 if ctx.cold else 0.0):
+        s16, _, mfu16 = _time_train_step(step16, fresh_state(), batch)
+        RESULT["extra"].update(
+            train_bf16_step_s=round(s16, 4), train_bf16_mfu=round(mfu16, 4)
+        )
+        scaling[1] = {"ms_per_sample": round(s16 * 1e3, 2),
+                      "mfu": round(mfu16, 4)}
+        RESULT["extra"]["train_scaling_dtype"] = "bf16"
+        RESULT["extra"]["train_scaling"] = {
+            str(k): v for k, v in scaling.items()
+        }
+        emit()
+
+    if RUN_SCALING and scaling:
         sizes = [2, 4, 8]
         # each larger batch is a fresh compile on a cold cache
         margin = 240.0 if ctx.cold else 0.0
@@ -359,7 +383,7 @@ def sec_train(ctx: Ctx):
             try:
                 bb = make_synthetic_batch(cfg, b, (H, W))
                 st = fresh_state()
-                s_s, _, s_mfu = _time_train_step(train_step, st, bb, iters=6)
+                s_s, _, s_mfu = _time_train_step(step16, st, bb, iters=6)
                 scaling[b] = {
                     "ms_per_sample": round(s_s / b * 1e3, 2),
                     "mfu": round(s_mfu, 4),
