@@ -219,3 +219,164 @@ def test_learned_association_beats_shuffled_and_ablated(tmp_path):
     assert aq > aq_abl + 0.05, (
         f"ablating loss_track did not hurt association: {aq} vs {aq_abl}"
     )
+
+
+def _train_and_score(cfg, ds):
+    """Train until the blobs are detected, then STQ-score the online pipeline."""
+    state, resume = _train(cfg, ds, steps=420)
+    data = _track_frames(cfg, state, ds)
+    for _ in range(3):
+        if all((trk > 0).any() for _, trk, _, _ in data):
+            break
+        state = resume(state, 120)
+        data = _track_frames(cfg, state, ds)
+    return data
+
+
+@pytest.mark.slow
+def test_learned_association_full_release_config(tmp_path):
+    """Association learning on the RELEASE path (VERDICT r3 item 4): the
+    link_previous=True joint-train model
+    (knet_quansi_dense_embed_fc_joint_train.py:367-384, :406-460). With kernel
+    linking active, frame t+1's kernels are fused from frame t's — a channel
+    that could silently carry identity even if the embedding head were broken.
+    This test pins identity on the LEARNED embedding anyway: with linking on,
+    tracked AQ must beat (a) the per-frame shuffled-id baseline and (b) the
+    same linked model trained with loss_track ablated to zero weight."""
+    _write_moving_kitti(tmp_path)
+    from video_knet_tpu.data.datasets import KittiStepDVPS
+
+    ds = KittiStepDVPS(str(tmp_path), split="train", ref_seq_index=[-1, 1])
+    cfg = VideoKNetConfig(max_insts=4, link_previous=True, norm_eval=False)
+    data = _train_and_score(cfg, ds)
+    aq, stq_val = _aq(data)
+    aq_shuf, _ = _aq(data, shuffle_seed=1)
+    assert np.isfinite(stq_val)
+    assert aq > 0.25, f"AQ collapsed on the release config: {aq}"
+    assert aq > aq_shuf + 0.1, f"AQ {aq} not above shuffled {aq_shuf}"
+
+    cfg_abl = dataclasses.replace(
+        cfg, track=TrackHeadConfig(loss_track_weight=0.0,
+                                   loss_track_aux_weight=0.0),
+    )
+    data_abl = _train_and_score(cfg_abl, ds)
+    aq_abl, _ = _aq(data_abl)
+    assert aq > aq_abl + 0.05, (
+        "with kernel linking active, ablating loss_track did not hurt "
+        f"association — linking is carrying identity: {aq} vs {aq_abl}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# VIS tube-quality analogue (VERDICT r3 item 4, second half): short
+# ClipKernelHead train on synthetic moving tubes; the decoded whole-clip tube
+# IoU must improve over the untrained model (kernel_frame_iter_head.py:181-232
+# is the reference loss path this exercises).
+# ---------------------------------------------------------------------------
+
+def _make_moving_clip(t=3, hw=(64, 96), seed=0):
+    """One clip: two same-class blobs crossing horizontally (appearance is the
+    only stable cue). Returns (clip [1,T,H,W,3] float, ClipGT at stride 4)."""
+    from video_knet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from video_knet_tpu.models.vis.knet_vis import ClipGT
+
+    h, w = hw
+    bh, bw = 24, 28
+    imgs = np.zeros((1, t, h, w, 3), np.float32)
+    gh, gw = h // 4, w // 4
+    masks = np.zeros((1, 4, t, gh, gw), np.float32)
+    for f in range(t):
+        img = np.full((h, w, 3), 90, np.float32)
+        xa = 2 + int((w - bw - 4) * f / max(t - 1, 1))
+        xb = (w - bw - 2) - int((w - bw - 4) * f / max(t - 1, 1))
+        for g, (y0, x0, color) in enumerate(
+            ((4, xa, (200, 40, 40)), (36, xb, (40, 160, 220)))
+        ):
+            img[y0:y0 + bh, x0:x0 + bw] = color
+            masks[0, g, f, y0 // 4:(y0 + bh) // 4, x0 // 4:(x0 + bw) // 4] = 1.0
+        imgs[0, f] = (img - IMAGENET_MEAN) / IMAGENET_STD
+    labels = np.zeros((1, 4), np.int32)
+    valid = np.zeros((1, 4), bool)
+    valid[:, :2] = True
+    return (jnp.asarray(imgs),
+            ClipGT(jnp.asarray(masks), jnp.asarray(labels), jnp.asarray(valid)))
+
+
+def _tube_iou(pred, gt) -> float:
+    """Mean over GT tubes of the best single predicted tube's mean-over-frames
+    IoU. A tube must keep ONE pred index across all frames — per-frame best
+    matches do not count, which is exactly what separates tube quality from
+    frame quality."""
+    pm = np.asarray(pred.masks) > 0.0  # [T, K, h, w] logits -> bool
+    gm = np.asarray(gt.masks[0]) > 0.5  # [G, T, h, w]
+    valid = np.asarray(gt.valid[0])
+    ious = []
+    for g in np.where(valid)[0]:
+        inter = (pm & gm[g][:, None]).sum((0, 2, 3)).astype(np.float64)  # [K]
+        union = (pm | gm[g][:, None]).sum((0, 2, 3)).astype(np.float64)
+        ious.append(float((inter / np.maximum(union, 1)).max()))
+    return float(np.mean(ious))
+
+
+@pytest.mark.slow
+def test_vis_tube_learning():
+    import optax
+
+    from video_knet_tpu.config import ConvKernelHeadConfig, KernelUpdateHeadConfig
+    from video_knet_tpu.config import TestCfg as InferenceCfg
+    from video_knet_tpu.config_vis import VISConfig
+    from video_knet_tpu.models.vis.knet_vis import KNetVIS, vis_decode
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vis import make_vis_loss_fn
+
+    cfg = VISConfig(
+        num_classes=5, num_proposals=8, num_frames=3, max_insts=4,
+        frozen_stages=0, norm_eval=False,
+        rpn=ConvKernelHeadConfig(
+            num_proposals=8, num_classes=5, num_thing_classes=5,
+            num_stuff_classes=0, cat_stuff_mask=False,
+            feat_downsample_stride=2, loss_rank_weight=0.1,
+        ),
+        head=KernelUpdateHeadConfig(
+            num_classes=5, num_thing_classes=5, num_stuff_classes=0,
+            mask_upsample_stride=2, feedforward_channels=256,
+        ),
+        test=InferenceCfg(max_per_img=4),
+    )
+    clip, gt = _make_moving_clip(t=cfg.num_frames)
+    model = KNetVIS(cfg, train=True)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    tx = optax.adam(1e-3)
+    state = create_train_state(variables, tx)
+    loss_fn = make_vis_loss_fn(model, cfg)
+
+    @jax.jit
+    def step(state, clip, gt):
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, clip, gt)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return state._replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_bs, opt_state=new_opt,
+        ), total
+
+    eval_model = KNetVIS(cfg, train=False)
+
+    @jax.jit
+    def decode(params, batch_stats, clip):
+        outs = eval_model.apply(
+            {"params": params, "batch_stats": batch_stats}, clip, mutable=False
+        )
+        return vis_decode(outs, cfg)
+
+    iou0 = _tube_iou(decode(state.params, state.batch_stats, clip), gt)
+    total = None
+    for _ in range(200):
+        state, total = step(state, clip, gt)
+    assert np.isfinite(float(total))
+    iou1 = _tube_iou(decode(state.params, state.batch_stats, clip), gt)
+    # measured point: untrained ~0.01-0.05, 200 steps of overfit >0.8
+    assert iou1 > 0.5, f"trained tube IoU too low: {iou1} (untrained {iou0})"
+    assert iou1 > iou0 + 0.3, f"tube IoU did not improve: {iou0} -> {iou1}"

@@ -18,6 +18,12 @@ def make_vis_loss_fn(model: KNetVIS, cfg: VISConfig):
     """bf16_train: forward/backward in bfloat16 with fp32 master params and
     fp32 loss math (same contract as train/vps.py)."""
 
+    if getattr(cfg, "bf16_train", False) and not cfg.norm_eval:
+        raise ValueError(
+            "bf16_train requires norm_eval=True (frozen BN stats): live BN "
+            "stat updates would be accumulated in bfloat16"
+        )
+
     def loss_fn(params, batch_stats, clip, gt: ClipGT, rng=None):
         # swin drop-path/dropout rngs (flax Dropout is rng-free at rate 0)
         rngs = None if rng is None else {"dropout": rng}
@@ -30,18 +36,30 @@ def make_vis_loss_fn(model: KNetVIS, cfg: VISConfig):
                 {"params": params, "batch_stats": batch_stats}
             )
             clip = clip.astype(jnp.bfloat16)
+        else:
+            variables = {"params": params, "batch_stats": batch_stats}
+        # release configs freeze BN (norm_eval=True); from-scratch training
+        # (tests) runs live BN and must thread updated batch_stats through
+        mutable = ["batch_stats"] if (model.train and not cfg.norm_eval) else False
+        if mutable:
+            outs, updates = model.apply(
+                variables, clip, mutable=mutable, rngs=rngs
+            )
+            new_bs = updates["batch_stats"]
+        else:
             outs = model.apply(variables, clip, mutable=False, rngs=rngs)
+            new_bs = batch_stats
+        if getattr(cfg, "bf16_train", False):
+            import jax.numpy as jnp
+
             outs = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.float32)
                 if getattr(x, "dtype", None) == jnp.bfloat16 else x,
                 outs,
             )
-        else:
-            variables = {"params": params, "batch_stats": batch_stats}
-            outs = model.apply(variables, clip, mutable=False, rngs=rngs)
         losses = knet_vis_loss(outs, gt, cfg)
         total = sum(losses.values())
-        return total, (losses, batch_stats)
+        return total, (losses, new_bs)
 
     return loss_fn
 
