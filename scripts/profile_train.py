@@ -34,6 +34,20 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/vknet_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+PEAK_BF16 = 197e12  # v5e dense bf16; good enough for relative attribution
+HBM_BW = 8.19e11  # v5e HBM bytes/s
+
+
+def cost_of(jitted, *args) -> tuple[float, float]:
+    """(flops, bytes accessed) of the compiled sub-graph via XLA cost analysis."""
+    c = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(c, list):
+        c = c[0]
+    return float(c.get("flops", float("nan"))), float(
+        c.get("bytes accessed", float("nan"))
+    )
+
+
 def timed(fn, *args, iters=10, warmup=2):
     out = None
     for _ in range(warmup):
@@ -50,6 +64,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hw", type=int, nargs=2, default=(384, 1248))
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--bf16", action="store_true",
+                    help="profile the production bf16_train path")
     args = ap.parse_args()
     hw = tuple(args.hw)
     b = args.batch
@@ -65,7 +81,7 @@ def main():
         make_vps_loss_fn,
     )
 
-    cfg = VideoKNetConfig(max_insts=8)
+    cfg = VideoKNetConfig(max_insts=8, bf16_train=args.bf16)
     model = VideoKNet(cfg, train=True)
     batch = make_synthetic_batch(cfg, b, hw)
     variables = model.init(jax.random.PRNGKey(0), batch.img, batch.ref_img)
@@ -78,6 +94,7 @@ def main():
     # full step (non-donated copy of the state for repeat timing)
     step = make_sharded_train_step(model, cfg, tx, mesh)
     s = create_train_state(variables, tx)
+    res["full_flops"], res["full_bytes"] = cost_of(step, s, batch)
     s, _ = step(s, batch)
     s, _ = step(s, batch)
     t0 = time.perf_counter()
@@ -86,20 +103,32 @@ def main():
         s, losses = step(s, batch)
     jax.block_until_ready(losses)
     res["full_ms"] = (time.perf_counter() - t0) / iters * 1e3
+    # roofline: ideal compute / memory walls for the full step
+    res["full_compute_ms_ideal"] = res["full_flops"] / PEAK_BF16 * 1e3
+    res["full_mem_ms_ideal"] = res["full_bytes"] / HBM_BW * 1e3
 
     # forward-only loss
     loss_fn = make_vps_loss_fn(model, cfg)
     fwd = jax.jit(lambda p, bs, bt: loss_fn(p, bs, bt)[0])
     res["fwd_ms"] = timed(fwd, variables["params"], variables["batch_stats"], batch) * 1e3
 
-    # backbone+neck fwd+bwd on both frames
+    # backbone+neck fwd+bwd on both frames (same dtype as the full step)
     def bb_loss(params):
         vs = {"params": params, "batch_stats": variables["batch_stats"]}
-        f1 = model.apply(vs, batch.img, method=VideoKNet.extract_feat)
-        f2 = model.apply(vs, batch.ref_img, method=VideoKNet.extract_feat)
-        return sum(jnp.mean(jnp.square(x)) for x in f1 + f2)
+        img, ref = batch.img, batch.ref_img
+        if cfg.bf16_train:
+            from video_knet_tpu.utils.precision import cast_variables
+
+            vs = cast_variables(vs)
+            img, ref = img.astype(jnp.bfloat16), ref.astype(jnp.bfloat16)
+        f1 = model.apply(vs, img, method=VideoKNet.extract_feat)
+        f2 = model.apply(vs, ref, method=VideoKNet.extract_feat)
+        return sum(jnp.mean(jnp.square(x.astype(jnp.float32))) for x in f1 + f2)
 
     bb_grad = jax.jit(jax.grad(bb_loss))
+    res["backbone_flops"], res["backbone_bytes"] = cost_of(
+        bb_grad, variables["params"]
+    )
     res["backbone_fwd_bwd_ms"] = timed(bb_grad, variables["params"]) * 1e3
 
     # loss block at fixed model outputs
@@ -117,6 +146,7 @@ def main():
         return sum(ls.values())
 
     lgrad = jax.jit(jax.grad(loss_on_outputs))
+    res["loss_block_flops"], res["loss_block_bytes"] = cost_of(lgrad, outs)
     res["loss_block_fwd_bwd_ms"] = timed(lgrad, outs) * 1e3
 
     res["heads_fwd_bwd_ms_est"] = (

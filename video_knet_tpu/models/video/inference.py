@@ -317,6 +317,15 @@ class VPSInferencePipeline:
         n_tot = cfg.num_proposals + cfg.num_stuff_classes
         k = cfg.head.conv_kernel_size**2
         self._zero_obj = jnp.zeros((1, n_tot, k, cfg.head.in_channels), jnp.float32)
+        # device-resident is_first flags, created ONCE: a fresh
+        # jnp.asarray(bool) per frame is a host->device transfer that
+        # serializes against the step over the remote-TPU tunnel (~6 ms/frame
+        # — measured as the r04 device_step_fps halving vs r03's loop that
+        # kept the flag on device)
+        self._flag = {
+            False: jnp.asarray(False),
+            True: jnp.asarray(True),
+        }
         self.reset()
 
     def _make_tracker(self):
@@ -359,13 +368,14 @@ class VPSInferencePipeline:
 
     def _step(self, img, is_first):
         """One device step (either tracker path); updates carried state."""
+        flag = self._flag[bool(is_first)]
         if self.device_tracker:
             out = self.step(
-                img, self.prev_obj_feats, self.track_state, jnp.asarray(is_first)
+                img, self.prev_obj_feats, self.track_state, flag
             )
             self.track_state = out["track_state"]
         else:
-            out = self.step(img, self.prev_obj_feats, jnp.asarray(is_first))
+            out = self.step(img, self.prev_obj_feats, flag)
         self.prev_obj_feats = out["new_obj_feats"]
         payload = {
             k: v for k, v in out.items()
@@ -623,6 +633,10 @@ class MultiStreamVPSPipeline:
         self.prev_obj = jnp.zeros(
             (n_streams, n_tot, k, cfg.head.in_channels), jnp.float32
         )
+        # steady-state flags, device-resident once (see VPSInferencePipeline
+        # _flag: a per-round host->device bool transfer serializes against the
+        # step through the remote tunnel)
+        self._all_false = jnp.zeros((n_streams,), bool)
 
     @staticmethod
     def _slice(host: dict, i: int) -> dict:
@@ -648,13 +662,14 @@ class MultiStreamVPSPipeline:
         ]
 
     def _step(self, imgs, flags):
+        dflags = self._all_false if not np.any(flags) else jnp.asarray(flags)
         if self.device_tracker:
             out = self.step(
-                imgs, self.prev_obj, self.track_state, jnp.asarray(flags)
+                imgs, self.prev_obj, self.track_state, dflags
             )
             self.track_state = out["track_state"]
         else:
-            out = self.step(imgs, self.prev_obj, jnp.asarray(flags))
+            out = self.step(imgs, self.prev_obj, dflags)
         self.prev_obj = out["new_obj_feats"]
         return {
             k: v for k, v in out.items()
