@@ -21,8 +21,10 @@ Subsidiary numbers ride in "extra":
                             measured in the same run / same tunnel weather
   e2e_fetch_ms / e2e_host_ms — per-frame device_get wall and host-finish wall
                             (medians over windows) for the headline path
-  device_step_fps         — the jitted per-frame device function alone
-                            (device tracker INCLUDED since round 4)
+  device_step_fps         — the serving device graph alone (per-frame of the
+                            windowed lax.scan step; device tracker INCLUDED
+                            since round 4, scanned windows since round 4's
+                            scan-window serving change)
   multi_stream_device_fps — batched 8-stream device step throughput
   multi_stream_e2e_fps    — 8-stream serving end to end (depth-2 pipeline,
                             threaded host finishing) + its fetch/host ms
@@ -216,19 +218,22 @@ def sec_e2e_device(ctx: Ctx):
     )
     RESULT["extra"]["status"] = "headline measured"
 
-    # device step only, SAME compiled step (no extra compile): keep enqueuing
-    # without fetching; the recurrence (kernels + tracker state) threads on
-    # device so this is the pure chip throughput of the serving graph
+    # device throughput, SAME compiled scan graph (no extra compile): keep
+    # enqueuing windows without fetching; the recurrence (kernels + tracker
+    # state) threads on device so this is the pure chip throughput of the
+    # serving graph (per-frame of the windowed scan — serving's unit of work)
+    buf = [(ctx.frames[i % len(ctx.frames)], False) for i in range(8)]
     out = None
     for _ in range(WARMUP):
-        out = pipe._step(ctx.frames[0], False)
+        out, _ = pipe._scan_window(buf, 8)
     jax.block_until_ready(out["pan"])
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = pipe._step(ctx.frames[0], False)
+    nw = max(ITERS // 4, 3)
+    for _ in range(nw):
+        out, _ = pipe._scan_window(buf, 8)
     jax.block_until_ready(out["pan"])
     RESULT["extra"]["device_step_fps"] = round(
-        ITERS / (time.perf_counter() - t0), 3
+        8 * nw / (time.perf_counter() - t0), 3
     )
 
 
@@ -460,20 +465,28 @@ def sec_vis(ctx: Ctx):
     variables = KNetVIS(cfg, train=True).init(jax.random.PRNGKey(0), clip)
     infer_vars = cast_variables(variables) if USE_BF16 else variables
 
+    # the feedback scalar (zero-scaled output) chains each iteration on the
+    # previous one's result: without a data dependency the N identical
+    # enqueues through the remote tunnel returned absurd fps (r04 observed
+    # 200k) because nothing forces the executions to be distinct/serialized
     @jax.jit
-    def decode(c):
-        return vis_decode(model.apply(infer_vars, c, mutable=False), cfg,
-                          out_hw=(vh, vw))
+    def decode(c, fb):
+        out = vis_decode(
+            model.apply(infer_vars, c + fb, mutable=False), cfg,
+            out_hw=(vh, vw),
+        )
+        return out, (out.scores[0] * 0).astype(c.dtype)
 
     dt_ = jnp.bfloat16 if USE_BF16 else jnp.float32
     c = jnp.zeros((1, t, vh, vw, 3), dt_)
+    fb = jnp.zeros((), dt_)
     out = None
     for _ in range(WARMUP):
-        out = decode(c)
+        out, fb = decode(c, fb)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = decode(c)
+        out, fb = decode(c, fb)
     jax.block_until_ready(out)
     RESULT["extra"]["vis_clip_fps"] = round(
         t * ITERS / (time.perf_counter() - t0), 3
@@ -556,18 +569,19 @@ def sec_swinb(ctx: Ctx):
     )
     emit()
 
-    # device step only (same compiled step — no extra compile)
+    # device throughput only (same compiled scan graph — no extra compile)
+    buf = [(frames[i % len(frames)], False) for i in range(6)]
     out = None
     for _ in range(WARMUP):
-        out = pipe._step(frames[0], False)
+        out, _ = pipe._scan_window(buf, 6)
     jax.block_until_ready(out["pan"])
-    iters = 12
+    nw = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipe._step(frames[0], False)
+    for _ in range(nw):
+        out, _ = pipe._scan_window(buf, 6)
     jax.block_until_ready(out["pan"])
     RESULT["extra"]["swinb_vipseg_device_fps"] = round(
-        iters / (time.perf_counter() - t0), 3
+        6 * nw / (time.perf_counter() - t0), 3
     )
     emit()
     if _gate("swinb_train", extra_margin_s=300.0 if ctx.cold else 0.0):
@@ -595,8 +609,10 @@ def main():
         ("e2e_host", sec_e2e_host, True, 120.0),
         ("multi_stream", sec_multi_stream, True, 120.0),
         ("train", sec_train, RUN_TRAIN, 300.0),
-        ("vis", sec_vis, RUN_VIS, 240.0),
+        # Swin-B before VIS: the 5th BASELINE config's rows have priority
+        # over the VIS train step when the budget runs short (VERDICT r03)
         ("swinb_vipseg", sec_swinb, RUN_SWINB, 420.0),
+        ("vis", sec_vis, RUN_VIS, 240.0),
     ]
     for name, fn, enabled, cold_margin in sections:
         if not enabled:

@@ -216,3 +216,56 @@ def test_long_stream_with_churn():
     host, dev = _run_both(frames, cfg, resets={10, 17, 24})
     np.testing.assert_array_equal(host, dev)
     assert host.max() > 0
+
+
+def _sequential_greedy_oracle(sim, memo_ids, survived, dscore, cfg):
+    """Numpy transcription of the reference's one-detection-at-a-time greedy
+    (quasi_dense_embed_tracker.py:184-203): each score-ordered detection reads
+    its best remaining memo column; an assignment zeroes that column for
+    everyone after it."""
+    sim = np.array(sim, np.float64)
+    k = sim.shape[0]
+    ids = np.full((k,), -1, np.int64)
+    for i in range(k):
+        j = int(np.argmax(sim[i]))
+        conf = sim[i, j]
+        tid = int(memo_ids[j])
+        matchable = bool(survived[i]) and conf > cfg.match_score_thr and tid > -1
+        assign = matchable and dscore[i] > cfg.obj_score_thr
+        if assign:
+            ids[i] = tid
+            sim[np.arange(k) != i, j] = 0.0
+        elif matchable and conf > cfg.nms_conf_thr:
+            ids[i] = -2
+    return ids
+
+
+def test_greedy_assign_prefix_commit_equals_sequential():
+    """The while_loop prefix-commit rounds must be bit-equivalent to the
+    sequential greedy for dense conflict patterns (many detections whose
+    argmax lands on the same column, forcing multi-round resolution)."""
+    from video_knet_tpu.models.video.device_tracker import _greedy_assign
+
+    cfg = TrackerConfig()
+    k, m = 24, 40
+    for seed in range(30):
+        rng = np.random.RandomState(seed)
+        sim = rng.rand(k, m).astype(np.float32)
+        # force collisions: a few "hot" columns attract many rows' argmax
+        hot = rng.randint(0, m, size=3)
+        rows = rng.rand(k) < 0.6
+        sim[rows][:, hot] += 0  # (copy guard)
+        sim[np.ix_(np.where(rows)[0], hot)] += rng.rand(rows.sum(), 3) * 2.0
+        memo_ids = np.where(rng.rand(m) < 0.7, np.arange(m), -1).astype(np.int32)
+        survived = rng.rand(k) < 0.85
+        dscore = np.sort(rng.rand(k).astype(np.float32))[::-1].copy()
+        # zero invalid rows like tracker_match does (sim gated on pair_valid)
+        sim[~survived] = 0.0
+        want = _sequential_greedy_oracle(sim, memo_ids, survived, dscore, cfg)
+        got = np.asarray(
+            _greedy_assign(
+                jnp.asarray(sim), jnp.asarray(memo_ids),
+                jnp.asarray(survived), jnp.asarray(dscore), cfg
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"seed={seed}")

@@ -113,17 +113,29 @@ def thing_detections_from_decode(
     The host tracker path materializes [K, h, w] masks in numpy and loops
     masks_to_boxes (inference.py host `_finish_frame`); here each pixel is
     routed to its candidate row by a [num_pan_ids+1] lookup table and the
-    boxes come out of O(HW) segment min/max reductions — not the K x HW
-    broadcast-compare, which moves ~100x more HBM (boxes in out_hw
-    coordinates, matching the host's scale factors; empty segments give zero
-    boxes like tracker.masks_to_boxes)."""
+    boxes come out of masked min/max reductions over a fused [HW, K]
+    candidate-membership compare (boxes in out_hw coordinates, matching the
+    host's scale factors; empty segments give zero boxes like
+    tracker.masks_to_boxes).
+
+    TPU note: this was first written with jax.ops.segment_min/max — O(HW)
+    bytes, looks optimal — but XLA:TPU lowers segment reductions to scatters,
+    whose emitter is effectively SERIAL: the five segment ops cost ~6 ms/frame
+    at 96x312, more than the whole rest of the serving graph (measured by
+    ablation, round 4). The [HW, K] broadcast-compare is 100x more "work" on
+    paper yet runs in microseconds: the compare fuses into each reduction's
+    input, everything rides the 8x128 VPU, and nothing scatters. At merge
+    resolution the materialization-free fused form is the right TPU shape;
+    avoid "clever" scatter-based O(HW) forms on TPU."""
     h, w = pan.shape
     k = seg_ids.shape[0]
     if num_pan_ids is None:
         num_pan_ids = k  # seg ids are 1..K when no larger id space is given
     ok = valid & (seg_ids > 0)
     # segment id -> candidate row (k = "no candidate" dump row); invalid
-    # candidates scatter out of bounds and are dropped
+    # candidates scatter out of bounds and are dropped. (This [P+1]-sized
+    # scatter of K rows is tiny — the serial-scatter cost above is about the
+    # HW-sized segment reductions, not this LUT.)
     lut = jnp.full((num_pan_ids + 1,), k, jnp.int32).at[
         jnp.where(ok, seg_ids, num_pan_ids + 1)
     ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
@@ -136,13 +148,13 @@ def thing_detections_from_decode(
     xx = jnp.broadcast_to(
         jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)
     ).reshape(-1)
-    y0 = jax.ops.segment_min(yy, cand, num_segments=k + 1)[:k]
-    x0 = jax.ops.segment_min(xx, cand, num_segments=k + 1)[:k]
-    y1 = jax.ops.segment_max(yy, cand, num_segments=k + 1)[:k]
-    x1 = jax.ops.segment_max(xx, cand, num_segments=k + 1)[:k]
-    nonempty = (
-        jax.ops.segment_sum(jnp.ones_like(yy), cand, num_segments=k + 1)[:k] > 0
-    )
+    big = jnp.float32(1e9)
+    member = cand[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]  # [HW, K]
+    y0 = jnp.min(jnp.where(member, yy[:, None], big), axis=0)
+    x0 = jnp.min(jnp.where(member, xx[:, None], big), axis=0)
+    y1 = jnp.max(jnp.where(member, yy[:, None], -big), axis=0)
+    x1 = jnp.max(jnp.where(member, xx[:, None], -big), axis=0)
+    nonempty = jnp.any(member, axis=0)
     sy, sx = scale_yx
     box = jnp.stack(
         [x0 * sx, y0 * sy, (x1 + 1) * sx, (y1 + 1) * sy], axis=1
@@ -197,6 +209,68 @@ def _masked_softmax(x: Array, mask: Array, axis: int) -> Array:
     m = jnp.max(x, axis=axis, keepdims=True)
     e = jnp.exp(x - m) * mask
     return e / jnp.maximum(jnp.sum(e, axis=axis, keepdims=True), 1e-12)
+
+
+def _greedy_assign(
+    sim: Array,  # [K, Mtot] gated similarities, rows in descending score order
+    memo_ids: Array,  # [Mtot] tracklet id per memo column (-1 = backdrop/empty)
+    survived: Array,  # [K] post-dedup validity (sorted order)
+    dscore: Array,  # [K] detection scores (sorted order)
+    cfg: TrackerConfig,
+) -> Array:
+    """Sequential-greedy assignment (reference :184-203) via prefix-commit
+    rounds. Returns ids_sorted [K]: tracklet id, -1 unmatched, -2 suppressed.
+
+    Equivalence to the one-detection-per-step loop: detection i's decision
+    depends only on sim[i]'s argmax AFTER every higher-score assigned
+    detection zeroed its claimed column. A round therefore commits exactly
+    the detections up to (not including) the first active one whose argmax
+    column is also the argmax of an earlier active assigning detection; every
+    later detection waits, because the blocked one may claim a different
+    column once its view updates. Each round is vectorized over all K rows;
+    the first active row always commits, so the loop terminates in <= K
+    rounds (typically 1-2: same-column argmax collisions are rare)."""
+    k, m = sim.shape
+
+    def cond(carry):
+        _, active, _ = carry
+        return jnp.any(active)
+
+    def body(carry):
+        sim_mat, active, ids = carry
+        memo_ind = jnp.argmax(sim_mat, axis=1)  # [K]
+        conf = jnp.take_along_axis(sim_mat, memo_ind[:, None], axis=1)[:, 0]
+        tid = memo_ids[memo_ind]
+        matchable = survived & (conf > cfg.match_score_thr) & (tid > -1)
+        assign = matchable & (dscore > cfg.obj_score_thr)
+        suppressed = matchable & ~assign & (conf > cfg.nms_conf_thr)
+        out_id = jnp.where(assign, tid, jnp.where(suppressed, -2, -1))
+        # claims[i, c] = 1 where active row i would assign column c
+        claims = (
+            jax.nn.one_hot(memo_ind, m, dtype=jnp.float32)
+            * (active & assign)[:, None]
+        )
+        # conflict: an EARLIER active assigning row claims my argmax column
+        ahead = jnp.cumsum(claims, axis=0) - claims  # exclusive prefix sum
+        conflict = (
+            jnp.take_along_axis(ahead, memo_ind[:, None], axis=1)[:, 0] > 0.5
+        )
+        # commit the prefix before the first conflicted active row
+        blocked = jnp.cumsum((conflict & active).astype(jnp.int32)) > 0
+        commit = active & ~blocked
+        ids = jnp.where(commit, out_id, ids)
+        still = active & ~commit
+        claimed_cols = jnp.sum(claims * commit[:, None], axis=0) > 0.5  # [m]
+        sim_mat = jnp.where(
+            still[:, None] & claimed_cols[None, :], 0.0, sim_mat
+        )
+        return sim_mat, still, ids
+
+    ids0 = jnp.full((k,), -1, jnp.int32)
+    _, _, ids_sorted = jax.lax.while_loop(
+        cond, body, (sim, jnp.ones((k,), bool), ids0)
+    )
+    return ids_sorted
 
 
 def tracker_match(
@@ -260,25 +334,17 @@ def tracker_match(
         sim = sim * (lab[:, None] == memo_labels[None, :])
     sim = jnp.where(pair_valid, sim, 0.0)
 
-    # ---- greedy argmax with column suppression (:184-203): the only true
-    # sequential dependency — a scan over the score-sorted detections
-    def body(sim_mat, i):
-        row = sim_mat[i]
-        memo_ind = jnp.argmax(row)
-        conf = row[memo_ind]
-        tid = memo_ids[memo_ind]
-        matchable = survived[i] & (conf > cfg.match_score_thr) & (tid > -1)
-        assign = matchable & (dscore[i] > cfg.obj_score_thr)
-        suppressed = matchable & ~assign & (conf > cfg.nms_conf_thr)
-        out_id = jnp.where(assign, tid, jnp.where(suppressed, -2, -1))
-        # zero the claimed column for every OTHER row
-        col = jnp.arange(sim_mat.shape[1]) == memo_ind
-        keep_row = jnp.arange(sim_mat.shape[0]) == i
-        sim_mat = jnp.where(
-            assign & col[None, :] & ~keep_row[:, None], 0.0, sim_mat
-        )
-        return sim_mat, out_id
-    _, ids_sorted = jax.lax.scan(body, sim, jnp.arange(k))
+    # ---- greedy argmax with column suppression (:184-203). The reference
+    # processes detections one by one (each claims its best remaining memo
+    # column); a literal lax.scan over k=100 dets is latency-bound on TPU
+    # (~70 us/iteration of tiny ops = ~7 ms/frame, measured — it doubled the
+    # serving step). Instead each while_loop round commits the maximal
+    # score-ordered PREFIX of still-active detections whose argmax columns
+    # are pairwise unclaimed — bit-identical to the sequential greedy order
+    # (a detection's decision reads only its own argmax; that argmax is
+    # settled once no earlier active detection claims the same column), but
+    # real frames resolve in 1-2 vectorized rounds instead of k steps.
+    ids_sorted = _greedy_assign(sim, memo_ids, survived, dscore, cfg)
 
     # ---- new-id allocation (:200-203)
     new = (ids_sorted == -1) & (dscore > cfg.init_score_thr) & survived

@@ -103,13 +103,7 @@ def make_device_tracker_frame_step(
         )
         return payload, st
 
-    # `variables` rides as a jit ARGUMENT, not a closure: closed-over device
-    # arrays are embedded in the serialized program shipped to the compiler,
-    # which both bloats the compile payload past what the remote-compile
-    # transport accepts for large backbones (Swin-B ~0.5 GB fp32) and defeats
-    # compile-cache reuse across checkpoints.
-    @jax.jit
-    def _step(vars_, img, prev_obj_feats, track_state, is_first):
+    def _frame(vars_, img, prev_obj_feats, track_state, is_first):
         isf = jnp.asarray(is_first)
         out = model.apply(
             vars_, img, prev_obj_feats, isf, method=VideoKNet.test_step
@@ -139,9 +133,50 @@ def make_device_tracker_frame_step(
         payload["track_state"] = st
         return payload
 
+    # `variables` rides as a jit ARGUMENT, not a closure: closed-over device
+    # arrays are embedded in the serialized program shipped to the compiler,
+    # which both bloats the compile payload past what the remote-compile
+    # transport accepts for large backbones (Swin-B ~0.5 GB fp32) and defeats
+    # compile-cache reuse across checkpoints.
+    @jax.jit
+    def _step(vars_, img, prev_obj_feats, track_state, is_first):
+        return _frame(vars_, img, prev_obj_feats, track_state, is_first)
+
+    # windowed scan: W frames per dispatch — ONE execute call and ONE stacked
+    # payload instead of W of each. Per-call overhead through the remote-TPU
+    # tunnel is milliseconds (execute request serialization + result-future
+    # bookkeeping scale with the argument/output count), so at W=8 it drops
+    # from ~half the serving step to noise; on a local PCIe host it is still
+    # W× fewer dispatches. `do` masks trailing pad frames of a short final
+    # window — their forward runs but the carried recurrence (kernels +
+    # tracker memory) is frozen, so padding never perturbs the sequence.
+    @jax.jit
+    def _scan(vars_, imgs, prev_obj_feats, track_state, is_firsts, do):
+        def body(carry, x):
+            prev, st = carry
+            img, isf, d = x
+            p = _frame(vars_, img, prev, st, isf)
+            new_prev = p.pop("new_obj_feats")
+            new_st = p.pop("track_state")
+            prev = jnp.where(d, new_prev, prev)
+            st = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(d, n, o), new_st, st
+            )
+            return (prev, st), p
+        (prev, st), payloads = jax.lax.scan(
+            body, (prev_obj_feats, track_state), (imgs, is_firsts, do)
+        )
+        payloads["new_obj_feats"] = prev
+        payloads["track_state"] = st
+        return payloads
+
     def step(img, prev_obj_feats, track_state, is_first):
         return _step(variables, img, prev_obj_feats, track_state, is_first)
 
+    def scan_step(imgs, prev_obj_feats, track_state, is_firsts, do):
+        return _scan(variables, imgs, prev_obj_feats, track_state, is_firsts, do)
+
+    step.scan = scan_step
     return step
 
 
@@ -165,8 +200,7 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
     False) genuinely changes boundary labels and must decode on device."""
 
     # weights as a jit argument (see make_device_tracker_frame_step)
-    @jax.jit
-    def _step(vars_, img, prev_obj_feats, is_first):
+    def _frame(vars_, img, prev_obj_feats, is_first):
         out = model.apply(
             vars_, img, prev_obj_feats, is_first, method=VideoKNet.test_step
         )
@@ -209,9 +243,32 @@ def make_frame_step(model: VideoKNet, variables, cfg: VideoKNetConfig, out_hw,
             new_obj_feats=out["new_obj_feats"],
         )
 
+    @jax.jit
+    def _step(vars_, img, prev_obj_feats, is_first):
+        return _frame(vars_, img, prev_obj_feats, is_first)
+
+    # windowed scan over the carried kernels (see the device-tracker factory
+    # for why: one dispatch + one stacked payload per window)
+    @jax.jit
+    def _scan(vars_, imgs, prev_obj_feats, is_firsts, do):
+        def body(prev, x):
+            img, isf, d = x
+            p = _frame(vars_, img, prev, isf)
+            new_prev = p.pop("new_obj_feats")
+            return jnp.where(d, new_prev, prev), p
+        prev, payloads = jax.lax.scan(
+            body, prev_obj_feats, (imgs, is_firsts, do)
+        )
+        payloads["new_obj_feats"] = prev
+        return payloads
+
     def step(img, prev_obj_feats, is_first):
         return _step(variables, img, prev_obj_feats, is_first)
 
+    def scan_step(imgs, prev_obj_feats, is_firsts, do):
+        return _scan(variables, imgs, prev_obj_feats, is_firsts, do)
+
+    step.scan = scan_step
     return step
 
 
@@ -326,6 +383,10 @@ class VPSInferencePipeline:
             False: jnp.asarray(False),
             True: jnp.asarray(True),
         }
+        # per-window (is_firsts, do) flag pairs, device-resident and cached by
+        # value pattern — only (True, False, ...) / all-False / short-final
+        # patterns occur, so the cache stays tiny
+        self._wflag_cache: dict = {}
         self.reset()
 
     def _make_tracker(self):
@@ -395,34 +456,89 @@ class VPSInferencePipeline:
         # the remote-TPU tunnel, and still wasteful over PCIe)
         return self._finish_frame(jax.device_get(payload))
 
+    def _scan_window(self, buf, window: int):
+        """Enqueue ONE scanned device call for the buffered [(img, is_first)]
+        frames (padded to `window` with do=False rows); returns the stacked
+        payload handle and the real frame count."""
+        imgs = [b[0] for b in buf]
+        isfs = tuple(bool(b[1]) for b in buf)
+        n = len(imgs)
+        key = (isfs, window)
+        fl = self._wflag_cache.get(key)
+        if fl is None:
+            pad = window - n
+            fl = (
+                jnp.asarray(np.array(list(isfs) + [False] * pad)),
+                jnp.asarray(np.array([True] * n + [False] * pad)),
+            )
+            self._wflag_cache[key] = fl
+        isf_arr, do_arr = fl
+        stacked = jnp.stack(imgs + [imgs[-1]] * (window - n))
+        if self.device_tracker:
+            out = self.step.scan(
+                stacked, self.prev_obj_feats, self.track_state, isf_arr, do_arr
+            )
+            self.track_state = out.pop("track_state")
+        else:
+            out = self.step.scan(stacked, self.prev_obj_feats, isf_arr, do_arr)
+        self.prev_obj_feats = out.pop("new_obj_feats")
+        return out, n
+
     def run_sequence(self, frames, is_first_flags=None, window: int = 8,
                      depth: int = 1, stats: list | None = None):
         """Pipelined online inference over an iterable of frames.
 
-        Yields one VPSResult per frame. Device steps are enqueued continuously
-        (the per-frame recurrence — prev kernels — lives on device), and host
-        payloads are fetched `window` frames at a time so the device→host
-        round-trip latency amortizes across the window while the NEXT window
-        computes. window=1 degrades gracefully to per-frame latency mode; the
-        tracker itself still sees every frame strictly in order.
+        Yields one VPSResult per frame. `window` frames go to the device as
+        ONE scanned call (the per-frame recurrence — kernels + tracker memory
+        — is the scan carry) and come back as ONE stacked payload, so both the
+        dispatch overhead and the device→host round-trip amortize across the
+        window while the NEXT window computes. window=1 degrades gracefully to
+        per-frame latency mode (no scan graph); the tracker sees every frame
+        strictly in order either way.
 
         depth: windows kept in flight before the oldest is fetched (depth=1 =
         classic double buffering; >1 rides out tunnel-RTT jitter at the cost
         of latency). stats: optional list; one dict per drained window is
         appended — {'fetch_s': device_get wall (device wait + transfer),
         'host_s': host-side _finish_frame wall, 'frames': n} — so serving
-        regressions can be attributed to the wire vs the host."""
+        regressions can be attributed to the wire vs the host.
+
+        The drain (fetch + host finishing) of window t runs on worker threads
+        while the main thread keeps enqueuing window t+1: the device never
+        waits for the host, and the host-side work overlaps device compute.
+        The on-device tracker leaves _finish_frame order-independent (pure
+        payload formatting), so two windows may finish concurrently; host
+        tracker paths serialize on one worker (the tracker is stateful)."""
         import collections
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
-        pending: collections.deque = collections.deque()
+        # the unitrack ablation rides a per-frame appearance_fn payload; keep
+        # it on the per-frame path rather than teaching the scan about it
+        use_scan = (
+            hasattr(self.step, "scan") and window > 1
+            and self.appearance_fn is None
+        )
+        pending: collections.deque = collections.deque()  # of Futures
         buf: list = []
 
-        def drain(payloads):
-            t0 = _time.perf_counter()
-            hosts = jax.device_get(payloads)
-            t1 = _time.perf_counter()
-            results = [self._finish_frame(h) for h in hosts]
+        def drain(item):
+            if use_scan:
+                payload, n = item
+                t0 = _time.perf_counter()
+                host = jax.device_get(payload)
+                t1 = _time.perf_counter()
+                results = [
+                    self._finish_frame(
+                        jax.tree_util.tree_map(lambda v: v[i], host)
+                    )
+                    for i in range(n)
+                ]
+            else:
+                t0 = _time.perf_counter()
+                hosts = jax.device_get(item)
+                t1 = _time.perf_counter()
+                results = [self._finish_frame(h) for h in hosts]
             if stats is not None:
                 stats.append({
                     "fetch_s": t1 - t0,
@@ -431,27 +547,42 @@ class VPSInferencePipeline:
                 })
             return results
 
-        for i, img in enumerate(frames):
-            is_first = (i == 0) if is_first_flags is None else is_first_flags[i]
-            if is_first and i > 0:
-                # sequence boundary: flush everything, then reset tracker state
-                while pending:
-                    yield from drain(pending.popleft())
-                if buf:
-                    yield from drain(buf)
+        pool = ThreadPoolExecutor(
+            max_workers=2 if self.device_tracker else 1
+        )
+        try:
+            def flush_buf(buf):
+                item = self._scan_window(buf, window) if use_scan else buf
+                pending.append(pool.submit(drain, item))
+
+            for i, img in enumerate(frames):
+                is_first = (
+                    (i == 0) if is_first_flags is None else is_first_flags[i]
+                )
+                if is_first and i > 0:
+                    # sequence boundary: flush everything (the host-side state
+                    # below is only reset once all in-flight windows finished)
+                    if buf:
+                        flush_buf(buf)
+                        buf = []
+                    while pending:
+                        yield from pending.popleft().result()
+                if is_first:
+                    self.reset()
+                buf.append(
+                    (img, is_first) if use_scan else self._step(img, is_first)
+                )
+                if len(buf) >= max(window, 1):
+                    flush_buf(buf)
                     buf = []
-            if is_first:
-                self.reset()
-            buf.append(self._step(img, is_first))
-            if len(buf) >= max(window, 1):
-                pending.append(buf)
-                buf = []
-                while len(pending) > max(depth, 1):
-                    yield from drain(pending.popleft())
-        while pending:
-            yield from drain(pending.popleft())
-        if buf:
-            yield from drain(buf)
+                    while len(pending) > max(depth, 1):
+                        yield from pending.popleft().result()
+            if buf:
+                flush_buf(buf)
+            while pending:
+                yield from pending.popleft().result()
+        finally:
+            pool.shutdown(wait=True)
 
     def _finish_frame(self, host: dict) -> VPSResult:
         """Host-side tracker + map construction on the compact fetched payload.
