@@ -268,33 +268,39 @@ def sec_multi_stream(ctx: Ctx):
         )
         for _ in range(2)
     ]
-    n_rounds = WARMUP + ITERS
+    win = 4  # rounds per scanned device call
+    n_windows = 8
 
     def run():
         stats: list = []
-        seq = [rounds[i % 2] for i in range(n_rounds)]
-        return msp.run_batched_sequence(seq, depth=2, stats=stats), stats
+        seq = [rounds[i % 2] for i in range(win * (n_windows + 2))]
+        return (
+            msp.run_batched_sequence(seq, depth=2, stats=stats, window=win),
+            stats,
+        )
 
-    # one "window" = one batched round of b frames
-    fps, fetch_ms, host_ms = _median_window_fps(run, 1, n_rounds, 1)
+    # one "window" = `win` scanned rounds of b frames each
+    fps, fetch_ms, host_ms = _median_window_fps(run, win, n_windows, win)
     RESULT["extra"].update(
         multi_stream_e2e_fps=round(fps * b, 3),
         multi_stream_fetch_ms=round(fetch_ms / b, 3),
         multi_stream_host_ms=round(host_ms / b, 3),
     )
 
-    # batched device-only throughput, same compiled step
-    out = None
+    # batched device-only throughput, same compiled scan graph
     flags = np.zeros((b,), bool)
+    buf = [(rounds[i % 2], flags) for i in range(win)]
+    out = None
     for _ in range(WARMUP):
-        out = msp._step(rounds[0], flags)
+        out, _, _ = msp._scan_rounds(buf, win)
     jax.block_until_ready(out["pan"])
+    nw = 6
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = msp._step(rounds[0], flags)
+    for _ in range(nw):
+        out, _, _ = msp._scan_rounds(buf, win)
     jax.block_until_ready(out["pan"])
     RESULT["extra"]["multi_stream_device_fps"] = round(
-        b * ITERS / (time.perf_counter() - t0), 3
+        b * win * nw / (time.perf_counter() - t0), 3
     )
 
 

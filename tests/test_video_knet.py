@@ -313,3 +313,41 @@ def test_device_tracker_run_sequence(video_setup):
     for r in results:
         assert r.panoptic_seg.shape == (64, 96)
         assert np.asarray(r.track_map).min() >= 0
+
+
+def test_multi_stream_batched_sequence_windows(video_setup):
+    """run_batched_sequence (scanned round windows, padded final window,
+    threaded drain) must produce the same per-stream maps as per-round
+    run_frames."""
+    from video_knet_tpu.models.video.inference import MultiStreamVPSPipeline
+
+    cfg, model, variables, img = video_setup
+    infer_model = VideoKNet(cfg, train=False)
+    rng = np.random.RandomState(5)
+    T = 6  # not a multiple of window=4: exercises the do-masked pad rows
+    rounds = [
+        jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+        for _ in range(T)
+    ]
+
+    ms_a = MultiStreamVPSPipeline(
+        infer_model, variables, cfg, out_hw=(64, 96), n_streams=2
+    )
+    ref = [ms_a.run_frames(r, [t == 0, t == 0]) for t, r in enumerate(rounds)]
+
+    ms_b = MultiStreamVPSPipeline(
+        infer_model, variables, cfg, out_hw=(64, 96), n_streams=2
+    )
+    stats: list = []
+    got = list(ms_b.run_batched_sequence(rounds, window=4, stats=stats))
+
+    assert len(got) == T
+    assert sum(s["frames"] for s in stats) == T * 2
+    for t in range(T):
+        for s in range(2):
+            for name in ("panoptic_seg", "track_map", "semantic_map"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref[t][s], name)),
+                    np.asarray(getattr(got[t][s], name)),
+                    err_msg=f"t{t} s{s} {name}",
+                )

@@ -768,6 +768,8 @@ class MultiStreamVPSPipeline:
         # _flag: a per-round host->device bool transfer serializes against the
         # step through the remote tunnel)
         self._all_false = jnp.zeros((n_streams,), bool)
+        # per-window scanned-round flag cache (see VPSInferencePipeline)
+        self._wflag_cache: dict = {}
 
     @staticmethod
     def _slice(host: dict, i: int) -> dict:
@@ -813,40 +815,110 @@ class MultiStreamVPSPipeline:
         payload = self._step(imgs, flags)
         return self._finish_round(jax.device_get(payload), flags)
 
+    def _scan_rounds(self, buf, window: int):
+        """ONE scanned device call for the buffered [(imgs, flags)] rounds
+        (padded with do=False rows); returns (stacked payload, real count,
+        per-round flags)."""
+        imgs = [b[0] for b in buf]
+        keys = tuple(tuple(bool(f) for f in b[1]) for b in buf)
+        n = len(imgs)
+        key = (keys, window)
+        fl = self._wflag_cache.get(key)
+        if fl is None:
+            pad = window - n
+            rows = [list(k) for k in keys] + [[False] * self.n] * pad
+            fl = (
+                jnp.asarray(np.array(rows, bool)),
+                jnp.asarray(np.array([True] * n + [False] * pad)),
+            )
+            self._wflag_cache[key] = fl
+        isf_arr, do_arr = fl
+        stacked = jnp.stack(imgs + [imgs[-1]] * (window - n))
+        if self.device_tracker:
+            out = self.step.scan(
+                stacked, self.prev_obj, self.track_state, isf_arr, do_arr
+            )
+            self.track_state = out.pop("track_state")
+        else:
+            out = self.step.scan(stacked, self.prev_obj, isf_arr, do_arr)
+        self.prev_obj = out.pop("new_obj_feats")
+        return out, n, [b[1] for b in buf]
+
     def run_batched_sequence(self, rounds, flags_per_round=None,
-                             depth: int = 2, stats: list | None = None):
+                             depth: int = 2, stats: list | None = None,
+                             window: int = 4):
         """Pipelined serving loop: `rounds` yields [B, H, W, 3] frame batches.
 
-        Yields a list of B VPSResults per round. Up to `depth` rounds of
-        device steps stay in flight before the oldest payload is fetched, so
-        host finishing overlaps several rounds of device compute (the device
-        recurrence never waits on the host). stats: optional list, appended
-        one {'fetch_s','host_s'} dict per drained round."""
+        Yields a list of B VPSResults per round. `window` rounds go to the
+        device as ONE scanned call and return one stacked payload (see
+        run_sequence — dispatch and fetch amortize across window*B frames);
+        up to `depth` windows stay in flight, and each drain (fetch + all
+        per-stream host finishing) runs on a worker thread so host work
+        overlaps device compute. stats: optional list, appended one
+        {'fetch_s','host_s','frames'} dict per drained window."""
         import collections
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
-        pending: collections.deque = collections.deque()  # (payload, flags)
+        use_scan = hasattr(self.step, "scan") and window > 1
+        pending: collections.deque = collections.deque()  # Futures
+        buf: list = []
 
-        def drain():
-            payload, pflags = pending.popleft()
-            t0 = _time.perf_counter()
-            host = jax.device_get(payload)
-            t1 = _time.perf_counter()
-            out = self._finish_round(host, pflags)
+        def drain(item):
+            if use_scan:
+                payload, nr, flag_rows = item
+                t0 = _time.perf_counter()
+                host = jax.device_get(payload)
+                t1 = _time.perf_counter()
+                out = [
+                    self._finish_round(
+                        jax.tree_util.tree_map(lambda v: v[t], host),
+                        flag_rows[t],
+                    )
+                    for t in range(nr)
+                ]
+            else:
+                payload, pflags = item
+                t0 = _time.perf_counter()
+                host = jax.device_get(payload)
+                t1 = _time.perf_counter()
+                out = [self._finish_round(host, pflags)]
             if stats is not None:
-                stats.append(
-                    {"fetch_s": t1 - t0, "host_s": _time.perf_counter() - t1}
-                )
+                stats.append({
+                    "fetch_s": t1 - t0,
+                    "host_s": _time.perf_counter() - t1,
+                    "frames": len(out) * self.n,
+                })
             return out
 
-        for t, imgs in enumerate(rounds):
-            flags = (
-                np.full((self.n,), t == 0, bool)
-                if flags_per_round is None
-                else np.asarray(flags_per_round[t], bool)
-            )
-            pending.append((self._step(imgs, flags), flags))
-            while len(pending) > max(depth, 1):
-                yield drain()
-        while pending:
-            yield drain()
+        # Drain workers: with the on-device tracker, _finish_round is pure
+        # payload formatting (per-stream host trackers are None), so two
+        # windows may finish concurrently; host-tracker paths mutate
+        # per-stream tracker state and must finish strictly in order
+        pool = ThreadPoolExecutor(max_workers=2 if self.device_tracker else 1)
+        try:
+            for t, imgs in enumerate(rounds):
+                flags = (
+                    np.full((self.n,), t == 0, bool)
+                    if flags_per_round is None
+                    else np.asarray(flags_per_round[t], bool)
+                )
+                if use_scan:
+                    buf.append((imgs, flags))
+                    if len(buf) >= window:
+                        pending.append(
+                            pool.submit(drain, self._scan_rounds(buf, window))
+                        )
+                        buf = []
+                else:
+                    pending.append(
+                        pool.submit(drain, (self._step(imgs, flags), flags))
+                    )
+                while len(pending) > max(depth, 1):
+                    yield from pending.popleft().result()
+            if buf:
+                pending.append(pool.submit(drain, self._scan_rounds(buf, window)))
+            while pending:
+                yield from pending.popleft().result()
+        finally:
+            pool.shutdown(wait=True)
