@@ -50,6 +50,15 @@ A cold compile cache is detected from the first section's compile wall; when
 cold, the compile-heavy optional sections (train/VIS/Swin-B) require a larger
 remaining-budget margin before starting.
 
+SECTION ORDER IS ADAPTIVE (VERDICT r04 item 1): at startup the newest existing
+`BENCH_r*.json` is read, and any section whose signature key is absent from it
+FRONT-RUNS right after the headline e2e_device section (cheapest first: vis,
+then swinb), demoting the already-recorded sections behind it. The r04 budget
+arithmetic starved the Swin-B/VIS rows on every cold cache because the fixed
+order spent ~610 s on sections whose numbers already lived in BENCH_r04;
+front-running missing rows makes each round fill a different hole instead of
+re-measuring the same ones. `section_order` in "extra" records the decision.
+
 `vs_baseline` divides the headline e2e fps by a 10-fps V100 estimate for this
 model class (the reference publishes no throughput; SURVEY.md §6 — the torch
 inference loop is python- and CPU-sync-bound at ~0.5 MP).
@@ -112,6 +121,42 @@ def _elapsed() -> float:
     return time.monotonic() - _T0
 
 
+# signature key per section: present in the newest BENCH artifact => the row
+# already has a driver-recorded number and the section can be demoted
+SECTION_SIG = {
+    "e2e_device": "e2e_device_tracker_fps",
+    "e2e_host": "e2e_host_tracker_fps",
+    "multi_stream": "multi_stream_e2e_fps",
+    "train": "train_step_s",
+    "swinb_vipseg": "swinb_vipseg_e2e_fps",
+    "vis": "vis_clip_fps",
+}
+
+
+def _prev_bench_extra() -> dict:
+    """parsed.extra of the newest BENCH_r*.json next to this script (driver
+    artifact format: {"n": .., "parsed": {"extra": {...}}})."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = {}, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            parsed = d.get("parsed") or {}
+            extra = parsed.get("extra") or {}
+            if isinstance(extra, dict):
+                best, best_n = extra, int(m.group(1))
+        except Exception:
+            continue
+    return best
+
+
 def _gate(name: str, extra_margin_s: float = 0.0) -> bool:
     """True if the section must be skipped (and records why)."""
     if _elapsed() + extra_margin_s > BUDGET_S:
@@ -165,6 +210,32 @@ def _median_window_fps(pipe_run, window: int, n_windows: int, per_window_frames)
         [s["host_s"] / per_window_frames * 1e3 for s in s_tail]
     )
     return fps, fetch_ms, host_ms
+
+
+def _fast_random_init(model, rngs, *args):
+    """Shape-faithful pseudo-random variables WITHOUT compiling model.init.
+
+    `jax.eval_shape` traces init abstractly (no device compute, no remote
+    compile), then each leaf is filled host-side: conv/dense kernels ~N(0,
+    0.02), BN/LN scales and running vars = 1, biases/means = 0. Used for the
+    Swin-B section only: its real init forward is a multi-minute cold compile
+    through the remote tunnel, and the bench measures THROUGHPUT of random
+    weights either way — the fill just has to be finite and non-degenerate.
+    """
+    shapes = jax.eval_shape(lambda r: model.init(r, *args), rngs)
+    rs = np.random.RandomState(0)
+
+    def fill(path, s):
+        name = jax.tree_util.keystr(path)
+        if name.endswith("'scale']") or name.endswith("'var']"):
+            return jnp.ones(s.shape, s.dtype)
+        if name.endswith("'bias']") or name.endswith("'mean']"):
+            return jnp.zeros(s.shape, s.dtype)
+        return jnp.asarray(
+            rs.randn(*s.shape).astype(np.float32) * 0.02, dtype=s.dtype
+        )
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
 class Ctx:
@@ -235,6 +306,11 @@ def sec_e2e_device(ctx: Ctx):
     RESULT["extra"]["device_step_fps"] = round(
         8 * nw / (time.perf_counter() - t0), 3
     )
+    # schema marker (ADVICE r04): since round 4 device_step_fps measures
+    # per-frame throughput of the WINDOWED SCAN graph (dispatch amortized),
+    # not the single-step graph of BENCH_r01-r03 — comparisons across that
+    # boundary conflate removed dispatch overhead with chip throughput
+    RESULT["extra"]["device_step_fps_scanned"] = True
 
 
 def sec_e2e_host(ctx: Ctx):
@@ -329,10 +405,13 @@ def _time_train_step(train_step, state, *batch, iters=10, roofline: dict | None 
         cost = cost[0]
     flops = float(cost.get("flops", float("nan")))
     if roofline is not None:
-        # bytes accessed vs HBM bandwidth: the memory-side roofline. When
-        # bytes/BW >> flops/peak the step is bandwidth-bound and MFU cannot
-        # approach 1 regardless of scheduling (the written attribution the
-        # round-3 verdict asked for rides on these numbers).
+        # memory-side roofline estimate. XLA's whole-graph "bytes accessed"
+        # counts every operand of every op — fusion-internal and cache-
+        # resident traffic included — so it is an UPPER BOUND on physical HBM
+        # traffic (BENCH_r04's mem/step ratio exceeded 1.0 exactly because of
+        # this; VERDICT r04 weak-1). It is emitted under *_ub names; the
+        # per-block attribution that CAN name the bound lives in
+        # scripts/profile_train.py + the PARITY.md roofline table.
         byts = float(cost.get("bytes accessed", float("nan")))
         roofline["bytes"] = byts
         roofline["mem_s_ideal"] = byts / _hbm_bw()
@@ -388,10 +467,16 @@ def sec_train(ctx: Ctx):
         train_step_s=round(step_s, 4),
         train_flops=flops,
         train_mfu=round(mfu, 4),
-        train_bytes=roof.get("bytes"),
-        # fraction of the step explained by ideal HBM traffic vs ideal MXU
-        # time — >1 ratio of mem/compute means bandwidth-bound
-        train_membw_util=round(roof["mem_s_ideal"] / step_s, 4)
+        train_bytes_ub=roof.get("bytes"),
+        # ideal-time walls (seconds): compute from FLOPs/peak, memory from
+        # the bytes UPPER BOUND / HBM bandwidth — mem wall is an upper
+        # bound, so it may exceed the measured step; ratios vs step_s are
+        # intentionally NOT emitted (BENCH_r04's >1.0 membw_util proved
+        # nothing). Per-block attribution: PARITY.md roofline table.
+        train_compute_ideal_s=round(roof["compute_s_ideal"], 4)
+        if roof.get("compute_s_ideal") == roof.get("compute_s_ideal")
+        else None,
+        train_mem_ideal_s_ub=round(roof["mem_s_ideal"], 4)
         if roof.get("mem_s_ideal") == roof.get("mem_s_ideal")
         else None,
     )
@@ -413,7 +498,7 @@ def sec_train(ctx: Ctx):
         )
         RESULT["extra"].update(
             train_bf16_step_s=round(s16, 4), train_bf16_mfu=round(mfu16, 4),
-            train_bf16_membw_util=round(roof16["mem_s_ideal"] / s16, 4)
+            train_bf16_mem_ideal_s_ub=round(roof16["mem_s_ideal"], 4)
             if roof16.get("mem_s_ideal") == roof16.get("mem_s_ideal")
             else None,
         )
@@ -471,21 +556,28 @@ def sec_vis(ctx: Ctx):
     variables = KNetVIS(cfg, train=True).init(jax.random.PRNGKey(0), clip)
     infer_vars = cast_variables(variables) if USE_BF16 else variables
 
-    # the feedback scalar (zero-scaled output) chains each iteration on the
-    # previous one's result: without a data dependency the N identical
-    # enqueues through the remote tunnel returned absurd fps (r04 observed
-    # 200k) because nothing forces the executions to be distinct/serialized
+    # the feedback scalar chains each iteration on the previous one's result:
+    # without a data dependency the N identical enqueues through the remote
+    # tunnel returned absurd fps (r04 observed 200k) because nothing forces
+    # the executions to be distinct/serialized. The scalar is UN-ZEROED
+    # (max score) and scaled by 1e-30 at the point of use — a multiply by a
+    # non-zero constant of an unknown value cannot be constant-folded, unlike
+    # the old `scores * 0` whose survival relied on XLA's NaN semantics
+    # blocking the x*0→0 rewrite (ADVICE r04)
     @jax.jit
     def decode(c, fb):
         out = vis_decode(
-            model.apply(infer_vars, c + fb, mutable=False), cfg,
+            model.apply(
+                infer_vars, c + (fb * 1e-30).astype(c.dtype), mutable=False
+            ),
+            cfg,
             out_hw=(vh, vw),
         )
-        return out, (out.scores[0] * 0).astype(c.dtype)
+        return out, jnp.max(out.scores).astype(jnp.float32)
 
     dt_ = jnp.bfloat16 if USE_BF16 else jnp.float32
     c = jnp.zeros((1, t, vh, vw, 3), dt_)
-    fb = jnp.zeros((), dt_)
+    fb = jnp.zeros((), jnp.float32)
     out = None
     for _ in range(WARMUP):
         out, fb = decode(c, fb)
@@ -551,7 +643,11 @@ def sec_swinb(ctx: Ctx):
     cfg = dataclasses.replace(get_config("video_knet_vipseg_swin_b"), max_insts=8)
     model = VideoKNet(cfg, train=False)
     img = jnp.zeros((1, vh, vw, 3), jnp.float32)
-    variables = VideoKNet(cfg, train=True).init(
+    # shape-faithful host-side init: a real Swin-B init forward at 736x1280
+    # is its own multi-minute cold remote compile; skipping it is what lets
+    # this section fit the budget (VERDICT r04 item 1)
+    variables = _fast_random_init(
+        VideoKNet(cfg, train=True),
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         img, img,
     )
@@ -609,17 +705,36 @@ def sec_swinb(ctx: Ctx):
 
 def main():
     ctx = Ctx()
-    # (name, fn, enabled, extra budget margin when the cache is cold)
-    sections = [
-        ("e2e_device", sec_e2e_device, True, 0.0),
-        ("e2e_host", sec_e2e_host, True, 120.0),
-        ("multi_stream", sec_multi_stream, True, 120.0),
-        ("train", sec_train, RUN_TRAIN, 300.0),
-        # Swin-B before VIS: the 5th BASELINE config's rows have priority
-        # over the VIS train step when the budget runs short (VERDICT r03)
-        ("swinb_vipseg", sec_swinb, RUN_SWINB, 420.0),
-        ("vis", sec_vis, RUN_VIS, 240.0),
+    # name -> (fn, enabled, extra budget margin when the cache is cold).
+    # Margins for the optional sections are small on purpose: since round 4
+    # every section re-emits the enriched JSON line, so a driver kill mid-
+    # section only loses THAT section — the gate's job is merely to prefer
+    # cheap sections over doomed ones near the budget edge, not to guarantee
+    # completion (the 420 s swinb margin of r04 guaranteed starvation).
+    defs = {
+        "e2e_device": (sec_e2e_device, True, 0.0),
+        "e2e_host": (sec_e2e_host, True, 120.0),
+        "multi_stream": (sec_multi_stream, True, 120.0),
+        "train": (sec_train, RUN_TRAIN, 300.0),
+        "swinb_vipseg": (sec_swinb, RUN_SWINB, 60.0),
+        "vis": (sec_vis, RUN_VIS, 60.0),
+    }
+    base_order = [
+        "e2e_device", "e2e_host", "multi_stream", "train",
+        "swinb_vipseg", "vis",
     ]
+    # adaptive order: front-run sections with no row in the newest BENCH
+    # artifact, cheapest first (vis ~2 min banks a row before swinb's large
+    # compile), demoting already-recorded sections behind them
+    prev = _prev_bench_extra()
+    frontrun_priority = ["vis", "swinb_vipseg", "e2e_host", "multi_stream",
+                         "train"]
+    missing = [s for s in frontrun_priority if SECTION_SIG[s] not in prev]
+    order = ["e2e_device"] + missing + [
+        s for s in base_order[1:] if s not in missing
+    ]
+    RESULT["extra"]["section_order"] = order
+    sections = [(name, *defs[name]) for name in order]
     for name, fn, enabled, cold_margin in sections:
         if not enabled:
             continue

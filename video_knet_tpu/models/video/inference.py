@@ -23,6 +23,12 @@ from video_knet_tpu.models.video.tracker import (
 )
 from video_knet_tpu.ops.panoptic import segments_to_host
 
+# max cached (is_first, do) device flag pairs per pipeline (ADVICE r04):
+# steady serving sees only a handful of patterns, but adversarial stream
+# resets could otherwise grow the cache (and its pinned device buffers)
+# without bound
+_WFLAG_CACHE_CAP = 64
+
 # KITTI-STEP: the 2 thing classes sit at indices 11 (person) and 13 (car) of the
 # 19-class cityscapes label space (external/dataset/dvps_pipelines/loading.py cherry
 # =[11, 13]; joint_train.py:698-719).
@@ -360,7 +366,11 @@ class VPSInferencePipeline:
         # kernel_iter_head.py:616-655), which the compact path cannot honor —
         # the full payload (decode at out_hw on device) is used instead.
         # step_fn lets MultiStreamVPSPipeline share ONE jitted batched step
-        # across its per-stream host states.
+        # across its per-stream host states. Such stream objects are
+        # _finish_frame containers only: their step takes [B,...] rounds, so
+        # the single-stream run paths must never pick up its scan attribute
+        # (guarded via _own_step in run_sequence, ADVICE r04).
+        self._own_step = step_fn is None
         if step_fn is not None:
             self.step = step_fn
         elif self.device_tracker:
@@ -471,6 +481,11 @@ class VPSInferencePipeline:
                 jnp.asarray(np.array(list(isfs) + [False] * pad)),
                 jnp.asarray(np.array([True] * n + [False] * pad)),
             )
+            # bounded FIFO (ADVICE r04): each entry pins two device buffers;
+            # steady serving only ever sees a handful of patterns, so
+            # rebuilding a rare evicted one costs a ~16-byte transfer
+            if len(self._wflag_cache) >= _WFLAG_CACHE_CAP:
+                self._wflag_cache.pop(next(iter(self._wflag_cache)))
             self._wflag_cache[key] = fl
         isf_arr, do_arr = fl
         stacked = jnp.stack(imgs + [imgs[-1]] * (window - n))
@@ -516,7 +531,7 @@ class VPSInferencePipeline:
         # the unitrack ablation rides a per-frame appearance_fn payload; keep
         # it on the per-frame path rather than teaching the scan about it
         use_scan = (
-            hasattr(self.step, "scan") and window > 1
+            self._own_step and hasattr(self.step, "scan") and window > 1
             and self.appearance_fn is None
         )
         pending: collections.deque = collections.deque()  # of Futures
@@ -609,7 +624,14 @@ class VPSInferencePipeline:
             )
             pan, segments_info = segments_to_host(res, self.cfg.num_thing_classes)
             oh, ow = self.out_hw
-            self.frame_id += 1
+            # NO frame_id increment here: on the device-tracker payload path
+            # association already happened on device, _finish_frame is pure
+            # payload formatting and may run CONCURRENTLY on two drain
+            # workers (run_sequence uses a 2-worker pool) — a self.frame_id
+            # += 1 here would be a data race (ADVICE r04). frame_id is only
+            # consumed by the host-tracker paths, which serialize on one
+            # worker. Note stats entries may likewise append out of window
+            # order on this path.
             # ONE upsample of the id map, then the LUT gathers at out res —
             # nearest resize commutes with pointwise LUTs, so this equals the
             # device-side lut[pan] maps upsampled (3 resizes -> 1)
@@ -831,6 +853,11 @@ class MultiStreamVPSPipeline:
                 jnp.asarray(np.array(rows, bool)),
                 jnp.asarray(np.array([True] * n + [False] * pad)),
             )
+            # bounded FIFO (ADVICE r04): with streams resetting at arbitrary
+            # offsets the key space is 2^(B*window) — unbounded caching would
+            # pin device buffers forever
+            if len(self._wflag_cache) >= _WFLAG_CACHE_CAP:
+                self._wflag_cache.pop(next(iter(self._wflag_cache)))
             self._wflag_cache[key] = fl
         isf_arr, do_arr = fl
         stacked = jnp.stack(imgs + [imgs[-1]] * (window - n))

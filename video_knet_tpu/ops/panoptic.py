@@ -1,10 +1,12 @@
 """Panoptic merge, TPU-native.
 
-The reference has two merge modes (knet/det/kernel_iter_head.py:386-524). The release
-VPS/KITTI configs use the *joint argmax* mode (merge_joint=True), which is fully
-vectorizable: every pixel goes to the highest score*prob segment, then segments are
-kept if they retain >= overlap_thr of their original area. The sequential
-thing-paste mode is provided as a host-side numpy finalizer for parity checks.
+The reference has three merge modes (knet/det/kernel_iter_head.py:386-524,
+knet/video/kernel_iter_head.py:656-890). The release VPS/KITTI configs use the
+*joint argmax* mode (merge_joint=True), which is fully vectorizable: every pixel
+goes to the highest score*prob segment, then segments are kept if they retain
+>= overlap_thr of their original area. The sequential thing-first and
+stuff-first paste modes are provided as host-side numpy finalizers for parity
+checks and the ordering ablation.
 
 Static-shape output: per-segment arrays + keep mask instead of a python list of
 segment dicts; `segments_to_host` converts at dump time.
@@ -185,4 +187,73 @@ def merge_sequential_host(
         seg_id += 1
         pan[mask] = seg_id
         infos.append({"id": seg_id, "isthing": False, "category_id": lab, "area": int(area)})
+    return pan, infos
+
+
+def merge_sequential_host_stuff_first(
+    thing_masks: np.ndarray,
+    thing_labels: np.ndarray,
+    thing_scores: np.ndarray,
+    stuff_masks: np.ndarray,
+    stuff_labels: np.ndarray,
+    stuff_scores: np.ndarray,
+    *,
+    instance_score_thr: float = 0.25,
+    iou_thr: float = 0.5,
+    stuff_max_area: int = 4096,
+) -> tuple[np.ndarray, list[dict]]:
+    """Stuff-first sequential merge (the ordering-ablation variant).
+
+    Numpy transcription of merge_stuff_thing_stuff_first
+    (knet/video/kernel_iter_head.py:743-830): stuff segments are painted
+    FIRST (deduped by label in descending score order, kept when their free
+    area >= stuff_max_area), then things paste one-by-one in descending score
+    order with the same overlap rules as the thing-first variant — except the
+    overlap is now measured against stuff too, so a thing mostly covered by an
+    already-painted stuff region is dropped. Segment ids therefore number
+    stuff 1..S before things. Inputs are *boolean* masks (already
+    thresholded), same contract as merge_sequential_host.
+    """
+    h, w = thing_masks.shape[-2:]
+    pan = np.zeros((h, w), np.int32)
+    seg_id = 0
+    infos: list[dict] = []
+    processed = set()
+    for j in np.argsort(-stuff_scores):
+        lab = int(stuff_labels[j])
+        if lab in processed:
+            continue
+        processed.add(lab)
+        sem = stuff_masks[stuff_labels == lab].sum(0).astype(bool)
+        mask = sem & (pan == 0)
+        area = mask.sum()
+        if area < stuff_max_area:
+            continue
+        seg_id += 1
+        pan[mask] = seg_id
+        infos.append(
+            {"id": seg_id, "isthing": False, "category_id": lab,
+             "area": int(area)}
+        )
+    for i in np.argsort(-thing_scores):
+        score = float(thing_scores[i])
+        if score < instance_score_thr:
+            break
+        mask = thing_masks[i].astype(bool)
+        area = mask.sum()
+        if area == 0:
+            continue
+        inter = (mask & (pan > 0)).sum()
+        if inter / area > iou_thr:
+            continue
+        if inter > 0:
+            mask = mask & (pan == 0)
+        if mask.sum() == 0:
+            continue
+        seg_id += 1
+        pan[mask] = seg_id
+        infos.append(
+            {"id": seg_id, "isthing": True, "score": score,
+             "category_id": int(thing_labels[i]), "instance_id": int(i)}
+        )
     return pan, infos
