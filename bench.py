@@ -511,7 +511,10 @@ def sec_train(ctx: Ctx):
         emit()
 
     if RUN_SCALING and scaling:
-        sizes = [2, 4, 8]
+        # b8 first: it is the scaling point BENCH_r04 never captured
+        # (VERDICT r04 item 2) — bank it before the budget can run out; then
+        # b2 (the r04 anomaly point), then b4
+        sizes = [8, 2, 4]
         # each larger batch is a fresh compile on a cold cache
         margin = 240.0 if ctx.cold else 0.0
         for j, b in enumerate(sizes):
@@ -729,7 +732,19 @@ def main():
     prev = _prev_bench_extra()
     frontrun_priority = ["vis", "swinb_vipseg", "e2e_host", "multi_stream",
                          "train"]
-    missing = [s for s in frontrun_priority if SECTION_SIG[s] not in prev]
+
+    def _recorded(s: str) -> bool:
+        if SECTION_SIG[s] not in prev:
+            return False
+        if s == "train":
+            # the row exists but the scaling curve is incomplete (b8 was
+            # budget-skipped in r04) -> still front-run ahead of sections
+            # whose numbers the newest artifact already holds
+            b8 = (prev.get("train_scaling") or {}).get("8") or {}
+            return "ms_per_sample" in b8
+        return True
+
+    missing = [s for s in frontrun_priority if not _recorded(s)]
     order = ["e2e_device"] + missing + [
         s for s in base_order[1:] if s not in missing
     ]

@@ -237,3 +237,25 @@ def test_unitrack_pipeline_with_appearance(video_setup_small):
         res = pipe.run_frame(img, is_first=(t == 0))
         assert res.panoptic_seg.shape == (64, 96)
         assert res.track_map.shape == (64, 96)
+
+
+def test_unitrack_pipeline_with_hrnet_appearance(video_setup_small):
+    """'hrnet_w18' (the last appearance-zoo slot, unitrack/model/hrnet.py)
+    serves as the frozen encoder of the K-Net + UniTrack path end-to-end
+    (VERDICT r4 item 5)."""
+    from video_knet_tpu.models.video.inference import VPSInferencePipeline
+
+    cfg, model, variables = video_setup_small
+    app = make_appearance_model("hrnet_w18", return_stage=2)
+    app_vars = init_appearance(app, hw=(64, 96))
+    fn = make_appearance_fn(app, app_vars)
+    pipe = VPSInferencePipeline(
+        model, variables, cfg, out_hw=(64, 96), tracker_type="unitrack",
+        appearance_fn=fn,
+    )
+    rng = np.random.RandomState(0)
+    for t in range(2):
+        img = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+        res = pipe.run_frame(img, is_first=(t == 0))
+        assert res.panoptic_seg.shape == (64, 96)
+        assert res.track_map.shape == (64, 96)

@@ -142,9 +142,16 @@ def make_appearance_model(model_type: str, **kwargs) -> nn.Module:
 
     'resnet18'/'resnet34'/'resnet50' (a.k.a. the reference's random18/
     imagenet18/... — pretraining is a checkpoint concern, see
-    utils/checkpoint.import_torch_resnet) and 'random'."""
+    utils/checkpoint.import_torch_resnet), 'hrnet_w18'/'hrnet_w32'
+    (model.py:135-136 routes any 'hrnet' in model_type to hrnet.get_cls_net;
+    pretrained checkpoints import via utils/checkpoint.import_torch_hrnet)
+    and 'random'."""
     if model_type.startswith("resnet"):
         return AppearanceResNet(depth=int(model_type[len("resnet"):]), **kwargs)
+    if "hrnet" in model_type:
+        from video_knet_tpu.models.video.hrnet import HRNetEncoder
+
+        return HRNetEncoder(width=int(model_type.rsplit("w", 1)[-1]), **kwargs)
     if model_type == "random":
         return RandomFeatGenerator(**kwargs)
     raise ValueError(f"unknown appearance model_type: {model_type}")

@@ -137,6 +137,117 @@ def import_torch_fpn(state_dict: Mapping[str, Any], prefix: str = "neck.") -> di
     return params
 
 
+def import_torch_hrnet(
+    state_dict: Mapping[str, Any], prefix: str = "", width: int = 18
+) -> tuple[dict, dict]:
+    """UniTrack HRNet state_dict -> (params, batch_stats) pytrees matching
+    video_knet_tpu.models.video.hrnet.HRNetEncoder naming.
+
+    Mirrors the reference module tree (unitrack/model/hrnet.py): stem
+    conv1/bn1/conv2/bn2; `layer1.{b}` Bottlenecks; `transition{t}.{i}(.0).{0,1}`
+    Sequentials; `stage{s}.{m}.branches.{b}.{k}` BasicBlocks;
+    `stage{s}.{m}.fuse_layers.{i}.{j}(.{k}).{0,1}` conv+bn pairs;
+    `incre_modules.{i}.0` Bottlenecks and `downsamp_modules.{i}.{0,1}`
+    conv(+bias)+bn. `final_layer.*` and `classifier.*` are dead code in the
+    reference forward (hrnet.py:488-500 never calls them) and are skipped;
+    everything else must be consumed — leftover keys (except
+    num_batches_tracked bookkeeping) raise, so a renamed or missing module
+    fails loudly instead of silently keeping random init.
+    """
+    sd = TrackedStateDict(
+        {k[len(prefix):] if k.startswith(prefix) else k: v
+         for k, v in state_dict.items()},
+    )
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(val)
+
+    def map_bn(src, dst):
+        put(params, dst + ("scale",), _t2j(sd[src + ".weight"]))
+        put(params, dst + ("bias",), _t2j(sd[src + ".bias"]))
+        put(stats, dst + ("mean",), _t2j(sd[src + ".running_mean"]))
+        put(stats, dst + ("var",), _t2j(sd[src + ".running_var"]))
+
+    def map_conv_bn(conv_src, bn_src, dst_stem, *, bias=False):
+        put(params, (dst_stem + "_conv", "kernel"), _conv(sd[conv_src]))
+        if bias:
+            put(params, (dst_stem + "_conv", "bias"),
+                _t2j(sd[conv_src.rsplit(".", 1)[0] + ".bias"]))
+        map_bn(bn_src, (dst_stem + "_bn",))
+
+    def map_bottleneck(src, blk):
+        for c in (1, 2, 3):
+            put(params, (blk, f"conv{c}", "kernel"), _conv(sd[f"{src}.conv{c}.weight"]))
+            map_bn(f"{src}.bn{c}", (blk, f"bn{c}"))
+        if f"{src}.downsample.0.weight" in sd:
+            put(params, (blk, "downsample_conv", "kernel"),
+                _conv(sd[f"{src}.downsample.0.weight"]))
+            map_bn(f"{src}.downsample.1", (blk, "downsample_bn"))
+
+    def map_basic(src, blk):
+        for c in (1, 2):
+            put(params, (blk, f"conv{c}", "kernel"), _conv(sd[f"{src}.conv{c}.weight"]))
+            map_bn(f"{src}.bn{c}", (blk, f"bn{c}"))
+
+    # stem
+    for c in (1, 2):
+        put(params, (f"conv{c}", "kernel"), _conv(sd[f"conv{c}.weight"]))
+        map_bn(f"bn{c}", (f"bn{c}",))
+    # stage1 Bottlenecks
+    for b in range(4):
+        map_bottleneck(f"layer1.{b}", f"layer1_block{b}")
+    # transition1 (two entries); transition2/3 have only the new branch
+    map_conv_bn("transition1.0.0.weight", "transition1.0.1", "transition1_0")
+    map_conv_bn("transition1.1.0.0.weight", "transition1.1.0.1", "transition1_1_0")
+    for t in (2, 3):
+        map_conv_bn(f"transition{t}.{t}.0.0.weight", f"transition{t}.{t}.0.1",
+                    f"transition{t}_{t}_0")
+    # stages 2..4 (HRNET_STAGES layout: (modules, blocks) = (1,4),(4,4),(3,4))
+    for s, (num_modules, num_blocks) in zip((2, 3, 4), ((1, 4), (4, 4), (3, 4))):
+        for m in range(num_modules):
+            base = f"stage{s}.{m}"
+            for b in range(s):
+                for k in range(num_blocks):
+                    map_basic(f"{base}.branches.{b}.{k}",
+                              f"stage{s}_m{m}_b{b}_block{k}")
+            for i in range(s):
+                for j in range(s):
+                    if j > i:
+                        map_conv_bn(
+                            f"{base}.fuse_layers.{i}.{j}.0.weight",
+                            f"{base}.fuse_layers.{i}.{j}.1",
+                            f"stage{s}_m{m}_fuse{i}_{j}",
+                        )
+                    elif j < i:
+                        for k in range(i - j):
+                            map_conv_bn(
+                                f"{base}.fuse_layers.{i}.{j}.{k}.0.weight",
+                                f"{base}.fuse_layers.{i}.{j}.{k}.1",
+                                f"stage{s}_m{m}_fuse{i}_{j}_{k}",
+                            )
+    # classification head: incre Bottlenecks + chained downsample adds
+    for i in range(4):
+        map_bottleneck(f"incre_modules.{i}.0", f"incre{i}_block0")
+    for i in range(3):
+        map_conv_bn(f"downsamp_modules.{i}.0.weight", f"downsamp_modules.{i}.1",
+                    f"downsamp{i}", bias=True)
+
+    leftover = [
+        k for k in sd
+        if k not in sd.used
+        and not k.endswith("num_batches_tracked")
+        and not k.startswith(("final_layer.", "classifier."))
+    ]
+    if leftover:
+        raise KeyError(f"unconsumed HRNet checkpoint keys: {leftover[:8]}...")
+    return params, stats
+
+
 def load_torch_file(path: str) -> Mapping[str, Any]:
     import torch
 
