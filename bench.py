@@ -122,14 +122,20 @@ def _elapsed() -> float:
 
 
 # signature key per section: present in the newest BENCH artifact => the row
-# already has a driver-recorded number and the section can be demoted
+# already has a driver-recorded number and the section can be demoted.
+# vis/swinb are split into (headline fps) and (train) sections since round 5:
+# a cold cache cannot fit every compile inside the budget, so each section
+# must bank ONE row — coarse sections made swinb's e2e row hostage to vis's
+# train compile in the r05 validation run.
 SECTION_SIG = {
     "e2e_device": "e2e_device_tracker_fps",
     "e2e_host": "e2e_host_tracker_fps",
     "multi_stream": "multi_stream_e2e_fps",
     "train": "train_step_s",
     "swinb_vipseg": "swinb_vipseg_e2e_fps",
+    "swinb_train": "swinb_vipseg_train_step_s",
     "vis": "vis_clip_fps",
+    "vis_train": "vis_train_step_s",
 }
 
 
@@ -450,7 +456,6 @@ def sec_train(ctx: Ctx):
     variables = model.init(jax.random.PRNGKey(0), batch.img, batch.ref_img)
     tx = optax.adamw(1e-4, weight_decay=5e-2)
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-    train_step = make_sharded_train_step(model, cfg, tx, mesh)
 
     # the jitted step donates its input state; state buffers alias `variables`,
     # so every create_train_state gets a fresh copy
@@ -459,28 +464,38 @@ def sec_train(ctx: Ctx):
             jax.tree_util.tree_map(jnp.array, variables), tx
         )
 
-    roof: dict = {}
-    step_s, flops, mfu = _time_train_step(
-        train_step, fresh_state(), batch, roofline=roof
-    )
-    RESULT["extra"].update(
-        train_step_s=round(step_s, 4),
-        train_flops=flops,
-        train_mfu=round(mfu, 4),
-        train_bytes_ub=roof.get("bytes"),
-        # ideal-time walls (seconds): compute from FLOPs/peak, memory from
-        # the bytes UPPER BOUND / HBM bandwidth — mem wall is an upper
-        # bound, so it may exceed the measured step; ratios vs step_s are
-        # intentionally NOT emitted (BENCH_r04's >1.0 membw_util proved
-        # nothing). Per-block attribution: PARITY.md roofline table.
-        train_compute_ideal_s=round(roof["compute_s_ideal"], 4)
-        if roof.get("compute_s_ideal") == roof.get("compute_s_ideal")
-        else None,
-        train_mem_ideal_s_ub=round(roof["mem_s_ideal"], 4)
-        if roof.get("mem_s_ideal") == roof.get("mem_s_ideal")
-        else None,
-    )
-    emit()
+    # scaling-only mode: when the newest artifact already holds the fp32 b1
+    # baseline and this section front-ran only to fill the b8 scaling hole,
+    # skip the fp32 compile entirely — one compile less between the budget
+    # and the missing point (VERDICT r04 item 2)
+    scaling_only = "train_step_s" in _prev_bench_extra()
+    if scaling_only:
+        RESULT["extra"]["train_fp32_skipped"] = "in previous artifact"
+    else:
+        train_step = make_sharded_train_step(model, cfg, tx, mesh)
+        roof: dict = {}
+        step_s, flops, mfu = _time_train_step(
+            train_step, fresh_state(), batch, roofline=roof
+        )
+        RESULT["extra"].update(
+            train_step_s=round(step_s, 4),
+            train_flops=flops,
+            train_mfu=round(mfu, 4),
+            train_bytes_ub=roof.get("bytes"),
+            # ideal-time walls (seconds): compute from FLOPs/peak, memory
+            # from the bytes UPPER BOUND / HBM bandwidth — mem wall is an
+            # upper bound, so it may exceed the measured step; ratios vs
+            # step_s are intentionally NOT emitted (BENCH_r04's >1.0
+            # membw_util proved nothing). Per-block attribution:
+            # PARITY.md roofline table.
+            train_compute_ideal_s=round(roof["compute_s_ideal"], 4)
+            if roof.get("compute_s_ideal") == roof.get("compute_s_ideal")
+            else None,
+            train_mem_ideal_s_ub=round(roof["mem_s_ideal"], 4)
+            if roof.get("mem_s_ideal") == roof.get("mem_s_ideal")
+            else None,
+        )
+        emit()
 
     # the PRODUCTION train path: bf16 forward/backward over fp32 masters
     # (cfg.bf16_train; fp32 row above is the reference-comparable baseline —
@@ -510,13 +525,39 @@ def sec_train(ctx: Ctx):
         }
         emit()
 
+        # structural A/B (VERDICT r04 item 8): coarse assignment costs —
+        # the detached Hungarian mask/dice costs computed at head resolution
+        # against avg-pooled GT instead of on x4-upsampled masks
+        # (cfg.assigner.coarse_costs; together with stage_loss's gather-
+        # then-upscale this DCEs every full-res stage mask tensor). Same
+        # weights, same batch, same run as the bf16 baseline above.
+        if not _gate("train_coarse_assign",
+                     extra_margin_s=120.0 if ctx.cold else 0.0):
+            cfgc = dataclasses.replace(
+                cfg16,
+                assigner=dataclasses.replace(
+                    cfg16.assigner, coarse_costs=True
+                ),
+            )
+            stepc = make_sharded_train_step(
+                VideoKNet(cfgc, train=True), cfgc, tx, mesh
+            )
+            s_c, _, mfu_c = _time_train_step(stepc, fresh_state(), batch)
+            RESULT["extra"].update(
+                train_bf16_coarse_assign_step_s=round(s_c, 4),
+                train_bf16_coarse_assign_mfu=round(mfu_c, 4),
+            )
+            emit()
+
     if RUN_SCALING and scaling:
         # b8 first: it is the scaling point BENCH_r04 never captured
         # (VERDICT r04 item 2) — bank it before the budget can run out; then
         # b2 (the r04 anomaly point), then b4
         sizes = [8, 2, 4]
-        # each larger batch is a fresh compile on a cold cache
-        margin = 240.0 if ctx.cold else 0.0
+        # each larger batch is a fresh compile on a cold cache; the margin is
+        # deliberately small — every point emits as soon as it is measured,
+        # so starting a point near the edge risks only that point
+        margin = 120.0 if ctx.cold else 0.0
         for j, b in enumerate(sizes):
             if _elapsed() + margin > BUDGET_S:
                 for rest in sizes[j:]:
@@ -542,21 +583,37 @@ def sec_train(ctx: Ctx):
     RESULT["extra"]["train_scaling"] = {str(k): v for k, v in scaling.items()}
 
 
-def sec_vis(ctx: Ctx):
-    """VIS whole-clip decode fps (device) + VIS train step/MFU (b1, T=5)."""
-    import optax
-    from jax.sharding import Mesh
+VIS_HW_T = (360, 640, 5)
 
-    from video_knet_tpu.config_vis import youtube_vis_2019_config
+
+def _vis_state(ctx: Ctx):
+    """Shared (cfg, train variables) for the VIS sections; host-side
+    shape-faithful fill — a real KNetVIS init forward is a ~10-minute remote
+    compile that no cache layer retains across runs (measured in the round-5
+    validation runs: the vis section cost ~630 s twice in a row, dominated by
+    init, while the swinb section that already fills host-side took 98 s)."""
+    if getattr(ctx, "vis_state", None) is None:
+        from video_knet_tpu.config_vis import youtube_vis_2019_config
+        from video_knet_tpu.models.vis.knet_vis import KNetVIS
+
+        vh, vw, t = VIS_HW_T
+        cfg = youtube_vis_2019_config()
+        clip = jnp.zeros((1, t, vh, vw, 3), jnp.float32)
+        variables = _fast_random_init(
+            KNetVIS(cfg, train=True), jax.random.PRNGKey(0), clip
+        )
+        ctx.vis_state = (cfg, variables)
+    return ctx.vis_state
+
+
+def sec_vis(ctx: Ctx):
+    """VIS whole-clip decode fps (device), @360x640 T=5."""
     from video_knet_tpu.models.vis.knet_vis import KNetVIS, vis_decode
-    from video_knet_tpu.train.train_state import create_train_state
     from video_knet_tpu.utils.precision import cast_variables
 
-    vh, vw, t = 360, 640, 5
-    cfg = youtube_vis_2019_config()
+    vh, vw, t = VIS_HW_T
+    cfg, variables = _vis_state(ctx)
     model = KNetVIS(cfg, train=False)
-    clip = jnp.zeros((1, t, vh, vw, 3), jnp.float32)
-    variables = KNetVIS(cfg, train=True).init(jax.random.PRNGKey(0), clip)
     infer_vars = cast_variables(variables) if USE_BF16 else variables
 
     # the feedback scalar chains each iteration on the previous one's result:
@@ -592,14 +649,19 @@ def sec_vis(ctx: Ctx):
     RESULT["extra"]["vis_clip_fps"] = round(
         t * ITERS / (time.perf_counter() - t0), 3
     )
-    emit()
-    if _gate("vis_train", extra_margin_s=180.0 if ctx.cold else 0.0):
-        return
 
-    # train step (synthetic 5-frame clip batch, 2 valid tubes)
-    from video_knet_tpu.models.vis.knet_vis import ClipGT
+
+def sec_vis_train(ctx: Ctx):
+    """VIS train step + MFU (b1, 5-frame clip, 2 valid tubes)."""
+    import optax
+    from jax.sharding import Mesh
+
+    from video_knet_tpu.models.vis.knet_vis import ClipGT, KNetVIS
+    from video_knet_tpu.train.train_state import create_train_state
     from video_knet_tpu.train.vis import make_sharded_vis_train_step
 
+    vh, vw, t = VIS_HW_T
+    cfg, variables = _vis_state(ctx)
     tmodel = KNetVIS(cfg, train=True)
     s = cfg.mask_assign_stride
     g = cfg.max_insts
@@ -624,36 +686,45 @@ def sec_vis(ctx: Ctx):
     )
 
 
+SWINB_HW = (736, 1280)  # short-side-720 rounded to the stride-32 pad
+
+
+def _swinb_state(ctx: Ctx):
+    """Shared (cfg, fp32 variables) for the Swin-B sections. Shape-faithful
+    host-side init: a real Swin-B init forward at 736x1280 is its own
+    multi-minute cold remote compile; skipping it is what lets these
+    sections fit the budget (VERDICT r04 item 1)."""
+    if getattr(ctx, "swinb_state", None) is None:
+        import dataclasses
+
+        from video_knet_tpu.configs import get_config
+        from video_knet_tpu.models.video.knet_vps import VideoKNet
+
+        vh, vw = SWINB_HW
+        cfg = dataclasses.replace(
+            get_config("video_knet_vipseg_swin_b"), max_insts=8
+        )
+        img = jnp.zeros((1, vh, vw, 3), jnp.float32)
+        variables = _fast_random_init(
+            VideoKNet(cfg, train=True),
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            img, img,
+        )
+        ctx.swinb_state = (cfg, variables)
+    return ctx.swinb_state
+
+
 def sec_swinb(ctx: Ctx):
     """The 5th BASELINE config on chip: Swin-B VPS at VIP-Seg resolution
-    (short side 720): e2e fps, device fps, train step s, train MFU."""
-    import dataclasses
-
-    import optax
-    from jax.sharding import Mesh
-
-    from video_knet_tpu.configs import get_config
+    (short side 720): e2e fps + device fps."""
     from video_knet_tpu.models.video.inference import VPSInferencePipeline
     from video_knet_tpu.models.video.knet_vps import VideoKNet
-    from video_knet_tpu.train.train_state import create_train_state
-    from video_knet_tpu.train.vps import (
-        make_sharded_train_step,
-        make_synthetic_batch,
-    )
     from video_knet_tpu.utils.precision import cast_variables
 
-    vh, vw = 736, 1280  # short-side-720 rounded to the stride-32 pad
-    cfg = dataclasses.replace(get_config("video_knet_vipseg_swin_b"), max_insts=8)
+    vh, vw = SWINB_HW
+    cfg, variables = _swinb_state(ctx)
     model = VideoKNet(cfg, train=False)
-    img = jnp.zeros((1, vh, vw, 3), jnp.float32)
-    # shape-faithful host-side init: a real Swin-B init forward at 736x1280
-    # is its own multi-minute cold remote compile; skipping it is what lets
-    # this section fit the budget (VERDICT r04 item 1)
-    variables = _fast_random_init(
-        VideoKNet(cfg, train=True),
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        img, img,
-    )
     infer_vars = cast_variables(variables) if USE_BF16 else variables
     dt_ = jnp.bfloat16 if USE_BF16 else jnp.float32
 
@@ -688,11 +759,22 @@ def sec_swinb(ctx: Ctx):
     RESULT["extra"]["swinb_vipseg_device_fps"] = round(
         6 * nw / (time.perf_counter() - t0), 3
     )
-    emit()
-    if _gate("swinb_train", extra_margin_s=300.0 if ctx.cold else 0.0):
-        return
 
-    # train step (joint two-branch forward) at the same resolution
+
+def sec_swinb_train(ctx: Ctx):
+    """Swin-B VIP-Seg train step + MFU (b1, joint two-branch forward)."""
+    import optax
+    from jax.sharding import Mesh
+
+    from video_knet_tpu.models.video.knet_vps import VideoKNet
+    from video_knet_tpu.train.train_state import create_train_state
+    from video_knet_tpu.train.vps import (
+        make_sharded_train_step,
+        make_synthetic_batch,
+    )
+
+    vh, vw = SWINB_HW
+    cfg, variables = _swinb_state(ctx)
     tmodel = VideoKNet(cfg, train=True)
     batch = make_synthetic_batch(cfg, 1, (vh, vw))
     tx = optax.adamw(1e-4, weight_decay=5e-2)
@@ -707,7 +789,9 @@ def sec_swinb(ctx: Ctx):
 
 
 def main():
+    t_setup = time.monotonic()
     ctx = Ctx()
+    RESULT["extra"]["setup_s"] = round(time.monotonic() - t_setup, 1)
     # name -> (fn, enabled, extra budget margin when the cache is cold).
     # Margins for the optional sections are small on purpose: since round 4
     # every section re-emits the enriched JSON line, so a driver kill mid-
@@ -718,20 +802,29 @@ def main():
         "e2e_device": (sec_e2e_device, True, 0.0),
         "e2e_host": (sec_e2e_host, True, 120.0),
         "multi_stream": (sec_multi_stream, True, 120.0),
-        "train": (sec_train, RUN_TRAIN, 300.0),
+        "train": (sec_train, RUN_TRAIN, 240.0),
         "swinb_vipseg": (sec_swinb, RUN_SWINB, 60.0),
+        "swinb_train": (sec_swinb_train, RUN_SWINB, 240.0),
         "vis": (sec_vis, RUN_VIS, 60.0),
+        "vis_train": (sec_vis_train, RUN_VIS, 120.0),
     }
     base_order = [
         "e2e_device", "e2e_host", "multi_stream", "train",
-        "swinb_vipseg", "vis",
+        "swinb_vipseg", "swinb_train", "vis", "vis_train",
     ]
     # adaptive order: front-run sections with no row in the newest BENCH
-    # artifact, cheapest first (vis ~2 min banks a row before swinb's large
-    # compile), demoting already-recorded sections behind them
+    # artifact, demoting already-recorded sections behind them. Priority
+    # inside the missing set: the two never-recorded config HEADLINES first
+    # (vis decode ~3 min cold banks a row before swinb's larger serving
+    # compile), then the train scaling curve (the b8 hole), then the
+    # secondary train steps — one row per section since round 5, so a cold
+    # cache banks each config's headline before ANY train compile starts
     prev = _prev_bench_extra()
-    frontrun_priority = ["vis", "swinb_vipseg", "e2e_host", "multi_stream",
-                         "train"]
+    # swinb before vis: measured in the r05 validation runs, the Swin-B
+    # serving sections cost ~100 s (nn.scan keeps the program small) while
+    # the VIS section cost ~630 s — the r04 assumption was backwards
+    frontrun_priority = ["swinb_vipseg", "vis", "train", "vis_train",
+                         "swinb_train", "e2e_host", "multi_stream"]
 
     def _recorded(s: str) -> bool:
         if SECTION_SIG[s] not in prev:

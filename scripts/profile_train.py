@@ -91,9 +91,13 @@ def main():
 
     res = {}
 
-    # full step (non-donated copy of the state for repeat timing)
+    # full step — the jitted step DONATES its input state, and the state's
+    # buffers alias `variables`, so the state must be built on fresh copies
+    # (the sub-block timings below reuse `variables`)
     step = make_sharded_train_step(model, cfg, tx, mesh)
-    s = create_train_state(variables, tx)
+    s = create_train_state(
+        jax.tree_util.tree_map(jnp.array, variables), tx
+    )
     res["full_flops"], res["full_bytes"] = cost_of(step, s, batch)
     s, _ = step(s, batch)
     s, _ = step(s, batch)
@@ -112,7 +116,9 @@ def main():
     fwd = jax.jit(lambda p, bs, bt: loss_fn(p, bs, bt)[0])
     res["fwd_ms"] = timed(fwd, variables["params"], variables["batch_stats"], batch) * 1e3
 
-    # backbone+neck fwd+bwd on both frames (same dtype as the full step)
+    # backbone+neck fwd+bwd on both frames, as ONE concatenated [ref; key]
+    # pass of batch 2B — exactly how the joint train step runs the backbone
+    # (knet_vps.py:__call__ batches the branches for MXU utilization)
     def bb_loss(params):
         vs = {"params": params, "batch_stats": variables["batch_stats"]}
         img, ref = batch.img, batch.ref_img
@@ -121,9 +127,9 @@ def main():
 
             vs = cast_variables(vs)
             img, ref = img.astype(jnp.bfloat16), ref.astype(jnp.bfloat16)
-        f1 = model.apply(vs, img, method=VideoKNet.extract_feat)
-        f2 = model.apply(vs, ref, method=VideoKNet.extract_feat)
-        return sum(jnp.mean(jnp.square(x.astype(jnp.float32))) for x in f1 + f2)
+        both = jnp.concatenate([ref, img], axis=0)
+        feats = model.apply(vs, both, method=VideoKNet.extract_feat)
+        return sum(jnp.mean(jnp.square(x.astype(jnp.float32))) for x in feats)
 
     bb_grad = jax.jit(jax.grad(bb_loss))
     res["backbone_flops"], res["backbone_bytes"] = cost_of(

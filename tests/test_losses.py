@@ -187,7 +187,14 @@ def test_gathered_stage_loss_equals_dense():
 
     cfg = KNetConfig(max_insts=4, num_proposals=10)
     rng = np.random.RandomState(0)
-    b, n_prop, s, h, w = 2, 10, cfg.num_stuff_classes, 16, 24
+    # head-resolution masks at (hh, ww); GT and the dense reference live at
+    # the assign resolution (h, w) = mask_upsample_stride x that — stage_loss
+    # gathers rows at head res and upscales only those rows, which must equal
+    # the dense formulation over the full upscaled tensor (resize and row
+    # gather commute)
+    up = cfg.head.mask_upsample_stride
+    b, n_prop, s, hh, ww = 2, 10, cfg.num_stuff_classes, 16, 24
+    h, w = hh * up, ww * up
     n_tot = n_prop + s
     g = cfg.max_insts
     gt = PanopticGT(
@@ -203,10 +210,13 @@ def test_gathered_stage_loss_equals_dense():
     gp[0, 3], gp[0, 7] = 0, 1
     gp[1, 2], gp[1, 5], gp[1, 9] = 0, 1, 2
     gt_of_pred = jnp.asarray(gp)
+    from video_knet_tpu.models.kernel_iter_head import upscale_masks
+
+    mask_preds = jnp.asarray(rng.randn(b, n_tot, hh, ww).astype(np.float32))
     out = StageOutput(
         cls_score=jnp.asarray(rng.randn(b, n_tot, cfg.num_classes).astype(np.float32)),
-        mask_preds=None,
-        scaled_mask_preds=jnp.asarray(rng.randn(b, n_tot, h, w).astype(np.float32)),
+        mask_preds=mask_preds,
+        scaled_mask_preds=upscale_masks(mask_preds, up),
         object_feats=None,
     )
     got = stage_loss(out, gt_of_pred, gt, cfg, "s0")

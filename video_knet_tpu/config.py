@@ -18,6 +18,13 @@ class AssignerConfig:
     cls_weight: float = 2.0  # FocalLossCost
     dice_weight: float = 4.0  # DiceCost(pred_act=True)
     mask_weight: float = 1.0  # MaskCost(pred_act=True)
+    # TPU addition: compute the (detached) mask/dice matching costs at HEAD
+    # resolution against average-pooled GT instead of on the x4-bilinear-
+    # upsampled masks (the reference order, mask_hungarian_assigner.py:44-114
+    # at mask_assign_stride). The upsample adds no information, so the
+    # assignments agree except on boundary near-ties; 16x fewer cost-chain
+    # bytes. Default OFF for reference parity — A/B in bench.py.
+    coarse_costs: bool = False
 
 
 @dataclass(frozen=True)

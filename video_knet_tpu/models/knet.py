@@ -99,13 +99,29 @@ def branch_assignment_costs(
 
     Each is [B, N, G]. Solving them TOGETHER through one vmapped solver runs the
     lockstep lanes once instead of serializing 1 + assign_stages while-loops on
-    the TPU scalar core (see solve_assignments)."""
+    the TPU scalar core (see solve_assignments).
+
+    With cfg.assigner.coarse_costs the (detached) costs are computed from the
+    HEAD-resolution masks against average-pooled GT instead of upsampling every
+    mask tensor to assign stride first — 16x fewer cost-chain bytes at the
+    video config's mask_upsample_stride=4, and (together with stage_loss's
+    gather-then-upscale) no full-resolution stage mask tensor survives DCE."""
     n_prop = cfg.num_proposals
+    coarse = cfg.assigner.coarse_costs
     costs = []
+
+    def pooled_gt(masks):
+        """GT masks average-pooled to the pred resolution (integer factor)."""
+        f = gt.masks.shape[-1] // masks.shape[-1]
+        if f <= 1:
+            return gt.masks
+        b, g, hs, ws = gt.masks.shape
+        return gt.masks.reshape(b, g, hs // f, f, ws // f, f).mean(axis=(3, 5))
 
     def batched_cost(masks, cls, cls_weight):
         masks = jax.lax.stop_gradient(masks)
         cls = None if cls is None else jax.lax.stop_gradient(cls)
+        gm_all = pooled_gt(masks) if coarse else gt.masks
 
         def one(m, gm, gl, c=None):
             return hung.hungarian_cost_matrix(
@@ -116,17 +132,23 @@ def branch_assignment_costs(
             )
 
         if cls is None:
-            return jax.vmap(one)(masks, gt.masks, gt.labels)
+            return jax.vmap(one)(masks, gm_all, gt.labels)
         return jax.vmap(lambda m, gm, gl, c: one(m, gm, gl, c))(
-            masks, gt.masks, gt.labels, cls
+            masks, gm_all, gt.labels, cls
         )
 
-    rpn_scaled = upscale_masks(rpn_out.thing_mask_preds, cfg.rpn.feat_downsample_stride)
-    costs.append(batched_cost(rpn_scaled, None, 0.0))
+    rpn_thing = (
+        rpn_out.thing_mask_preds
+        if coarse
+        else upscale_masks(rpn_out.thing_mask_preds, cfg.rpn.feat_downsample_stride)
+    )
+    costs.append(batched_cost(rpn_thing, None, 0.0))
 
-    prev_masks = upscale_masks(rpn_out.mask_preds, cfg.head.mask_upsample_stride)[
-        :, :n_prop
-    ]
+    prev_masks = (
+        rpn_out.mask_preds
+        if coarse
+        else upscale_masks(rpn_out.mask_preds, cfg.head.mask_upsample_stride)
+    )[:, :n_prop]
     prev_cls = None
     for s in range(min(cfg.assign_stages, len(stage_outs))):
         cls_for_assign = (
@@ -140,7 +162,9 @@ def branch_assignment_costs(
                 cfg.assigner.cls_weight if cls_for_assign is not None else 0.0,
             )
         )
-        prev_masks = stage_outs[s].scaled_mask_preds[:, :n_prop]
+        prev_masks = (
+            stage_outs[s].mask_preds if coarse else stage_outs[s].scaled_mask_preds
+        )[:, :n_prop]
         prev_cls = stage_outs[s].cls_score
     return costs
 
@@ -282,33 +306,43 @@ def stage_loss(
             avg_factor=avg,
         )
     }
-    sm = out.scaled_mask_preds
     g = gt.masks.shape[1]
     p2g = pred_of_gt_from(gt_of_pred[:, :n_prop], g)  # [B, G] thing row per slot
     matched = p2g >= 0
     safe = jnp.maximum(p2g, 0)
+    # gather the G matched + S stuff rows at HEAD resolution, then upscale
+    # only those rows: bilinear resize acts on (H, W) independently of the
+    # row axis, so gather-then-resize is bit-identical to gathering from
+    # out.scaled_mask_preds — but the full [B, N_tot, Hs, Ws] upsample is
+    # never materialized when nothing else consumes it (rank loss off +
+    # coarse assignment costs lets XLA dead-code-eliminate it; A/B numbers
+    # in PARITY.md's round-5 roofline section)
+    mp = out.mask_preds
     thing_pred = jnp.take_along_axis(
-        sm[:, :n_prop], safe[..., None, None], axis=1
-    )  # [B, G, H, W]
-    rows_pred = jnp.concatenate([thing_pred, sm[:, n_prop:]], axis=1)
+        mp[:, :n_prop], safe[..., None, None], axis=1
+    )  # [B, G, h, w]
+    rows_small = jnp.concatenate([thing_pred, mp[:, n_prop:]], axis=1)
+    rows_pred = upscale_masks(rows_small, h.mask_upsample_stride)
     rows_t = jnp.concatenate([gt.masks, gt.sem_masks], axis=1)
     rows_w = jnp.concatenate(
         [matched.astype(jnp.float32), gt.sem_valid.astype(jnp.float32)], axis=1
     )
     r = g + s
+    hw = rows_pred.shape[-2:]
     losses[f"{prefix}_loss_mask"] = L.binary_cross_entropy(
-        rows_pred.reshape(b * r, *sm.shape[-2:]),
-        rows_t.reshape(b * r, *sm.shape[-2:]),
+        rows_pred.reshape(b * r, *hw),
+        rows_t.reshape(b * r, *hw),
         rows_w.reshape(b * r),
         loss_weight=h.loss_mask_weight,
     )
     losses[f"{prefix}_loss_dice"] = L.dice_loss(
-        rows_pred.reshape(b * r, *sm.shape[-2:]),
-        rows_t.reshape(b * r, *sm.shape[-2:]),
+        rows_pred.reshape(b * r, *hw),
+        rows_t.reshape(b * r, *hw),
         rows_w.reshape(b * r),
         loss_weight=h.loss_dice_weight,
     )
     if h.loss_rank_weight > 0:
+        sm = out.scaled_mask_preds  # rank CE needs ALL N mask logits per pixel
         orig_idx = jnp.concatenate(
             [safe, jnp.broadcast_to(
                 n_prop + jnp.arange(s, dtype=jnp.int32)[None], (b, s)
