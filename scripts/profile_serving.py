@@ -48,25 +48,33 @@ HBM_BW = 8.19e11  # v5e HBM bytes/s
 
 def loop_timed(body, *args, K=12, M=3):
     """Time `body(carry, *args) -> carry` executed K times inside ONE jit
-    (scan with scalar feedback); returns (seconds_per_iteration, run)."""
+    (scan with scalar feedback); returns seconds per iteration.
+
+    The carry is threaded across the M outer dispatches, and the timed
+    region ends with jax.device_get of the scalar carry, NOT
+    block_until_ready: on the remote axon backend block_until_ready on a
+    small scalar result can return before execution (measured 26 us/iter for
+    a 134-GFLOP graph, >5x the chip's peak — the unchained-execution
+    pathology PARITY.md round 5 records), while an actual value transfer
+    forces the sync (probe: same graph, 2.85 ms/iter with device_get). The
+    one tunnel RTT this adds is amortized over M*K iterations."""
 
     @jax.jit
-    def run(*a):
+    def run(c0, *a):
         def sbody(c, _):
             return body(c, *a), None
 
-        c, _ = jax.lax.scan(
-            sbody, jnp.zeros((), jnp.float32), None, length=K
-        )
+        c, _ = jax.lax.scan(sbody, c0, None, length=K)
         return c
 
+    c = jnp.zeros((), jnp.float32)
     for _ in range(2):
-        out = run(*args)
-    jax.block_until_ready(out)
+        c = run(c, *args)
+    jax.device_get(c)
     t0 = time.perf_counter()
     for _ in range(M):
-        out = run(*args)
-    jax.block_until_ready(out)
+        c = run(c, *args)
+    jax.device_get(c)
     return (time.perf_counter() - t0) / (M * K)
 
 
@@ -194,10 +202,14 @@ def main():
         row["frame_ms"] = (time.perf_counter() - t0) / (M * K) * 1e3
 
         jscan = jax.jit(lambda im, p, s, i, d: step.scan(im, p, s, i, d))
+        # XLA cost analysis counts a lax.scan body ONCE (not length times),
+        # so the scan graph's numbers are already per-frame — do NOT divide
+        # by K (doing so made frame_gflops 8x smaller than model_fwd_gflops,
+        # which the frame graph contains).
         f, by = cost_of(jscan, stacked, prev, st, isfs, do)
-        row["frame_gflops"] = f / K / 1e9
-        row["frame_compute_ideal_ms"] = f / K / PEAK_BF16 * 1e3
-        row["frame_mem_ideal_ms_ub"] = by / K / HBM_BW * 1e3
+        row["frame_gflops"] = f / 1e9
+        row["frame_compute_ideal_ms"] = f / PEAK_BF16 * 1e3
+        row["frame_mem_ideal_ms_ub"] = by / HBM_BW * 1e3
 
         # ---- derived attributions
         row["heads_ms_est"] = row["model_fwd_ms"] - row["backbone_neck_ms"]

@@ -118,43 +118,52 @@ def thing_detections_from_decode(
     host's scale factors; empty segments give zero boxes like
     tracker.masks_to_boxes).
 
-    TPU note: this was first written with jax.ops.segment_min/max — O(HW)
-    bytes, looks optimal — but XLA:TPU lowers segment reductions to scatters,
-    whose emitter is effectively SERIAL: the five segment ops cost ~6 ms/frame
-    at 96x312, more than the whole rest of the serving graph (measured by
-    ablation, round 4). The [HW, K] broadcast-compare is 100x more "work" on
-    paper yet runs in microseconds: the compare fuses into each reduction's
-    input, everything rides the 8x128 VPU, and nothing scatters. At merge
-    resolution the materialization-free fused form is the right TPU shape;
-    avoid "clever" scatter-based O(HW) forms on TPU."""
+    TPU note (evolution, all measured on a v5e at 96x312, K=100):
+    1. jax.ops.segment_min/max — O(HW) bytes, looks optimal — but XLA:TPU
+       lowers segment reductions to scatters, whose emitter is effectively
+       SERIAL: the five segment ops cost ~6 ms/frame, more than the whole
+       rest of the serving graph (round-4 ablation).
+    2. [HW, K] broadcast-compare membership + masked min/max reductions,
+       with the pixel->candidate routing as a `lut[pan]` small-table gather.
+       Round 4 believed this "microseconds"; that ablation was timed with
+       block_until_ready on a small result, which the remote-TPU client can
+       answer before execution (PARITY.md round 5, measurement pathology).
+       Re-timed with a value-fetch sync the block is 3.2 ms/frame — HALF the
+       serving step's post-model work. A finer bisect put almost none of it
+       in the reductions: each [HW]-indexed gather from a small table costs
+       ~0.9-1.1 ms on the serial TPU gather emitter (the `lut[pan]` here and
+       the two `take(..., winner)` building `pan` in ops/panoptic.merge_joint).
+    3. This form — gather-free: membership compares the id map against each
+       candidate's unique seg id directly ([H, W, K] broadcast compare), the
+       box extrema come from two-stage boolean any-reductions (over W ->
+       rowhit [H, K], over H -> colhit [W, K]) with iota min/max on the tiny
+       [H|W, K] stages, and merge_joint builds `pan` by one-hot select-reduce
+       instead of winner-gathers. Bit-identical boxes; the serving step's
+       post-model block drops 3.66 -> ~0.5 ms/frame."""
     h, w = pan.shape
     k = seg_ids.shape[0]
-    if num_pan_ids is None:
-        num_pan_ids = k  # seg ids are 1..K when no larger id space is given
+    del num_pan_ids  # retained for API compat; the LUT that needed it is gone
     ok = valid & (seg_ids > 0)
-    # segment id -> candidate row (k = "no candidate" dump row); invalid
-    # candidates scatter out of bounds and are dropped. (This [P+1]-sized
-    # scatter of K rows is tiny — the serial-scatter cost above is about the
-    # HW-sized segment reductions, not this LUT.)
-    lut = jnp.full((num_pan_ids + 1,), k, jnp.int32).at[
-        jnp.where(ok, seg_ids, num_pan_ids + 1)
-    ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
-    cand = jnp.where(
-        semantic_thing, lut[jnp.clip(pan, 0, num_pan_ids)], k
-    ).reshape(-1)
-    yy = jnp.broadcast_to(
-        jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)
-    ).reshape(-1)
-    xx = jnp.broadcast_to(
-        jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)
-    ).reshape(-1)
+    # membership WITHOUT the pixel->candidate LUT gather: lut[pan] was a
+    # third [HW]-indexed small-table gather (~0.9 ms, serial emitter — see
+    # note 4 above); comparing the id map against each candidate's unique
+    # 1-based seg id is the same predicate as `lut[pan] == j` and is a pure
+    # broadcast compare. seg ids are distinct per kept candidate, so at most
+    # one column matches per pixel.
+    member = (
+        (pan[:, :, None] == jnp.where(ok, seg_ids, -1))
+        & semantic_thing[:, :, None]
+    )  # [h, w, K]
+    rowhit = jnp.any(member, axis=1)  # [h, K] candidate touches row y
+    colhit = jnp.any(member, axis=0)  # [w, K] candidate touches col x
     big = jnp.float32(1e9)
-    member = cand[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]  # [HW, K]
-    y0 = jnp.min(jnp.where(member, yy[:, None], big), axis=0)
-    x0 = jnp.min(jnp.where(member, xx[:, None], big), axis=0)
-    y1 = jnp.max(jnp.where(member, yy[:, None], -big), axis=0)
-    x1 = jnp.max(jnp.where(member, xx[:, None], -big), axis=0)
-    nonempty = jnp.any(member, axis=0)
+    yi = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xi = jnp.arange(w, dtype=jnp.float32)[:, None]
+    y0 = jnp.min(jnp.where(rowhit, yi, big), axis=0)
+    y1 = jnp.max(jnp.where(rowhit, yi, -big), axis=0)
+    x0 = jnp.min(jnp.where(colhit, xi, big), axis=0)
+    x1 = jnp.max(jnp.where(colhit, xi, -big), axis=0)
+    nonempty = jnp.any(rowhit, axis=0)
     sy, sx = scale_yx
     box = jnp.stack(
         [x0 * sx, y0 * sy, (x1 + 1) * sx, (y1 + 1) * sy], axis=1
